@@ -1,0 +1,207 @@
+"""Receiver configuration.
+
+A frozen, hashable dataclass so a config can be passed as a *static* argument
+to ``jax.jit`` — every derived quantity (samples per code, Doppler grids,
+block sizes) is then a Python-level constant inside the traced program, which
+keeps all shapes static for XLA.
+
+Covers every knob of the reference settings object
+(reference: initialize.py:80-185) plus TPU-native knobs (chunking, window
+padding, mesh axis names).  Unlike the reference — which is configured by
+editing source (reference: README.md:18-19) — configs here are immutable
+values; use :func:`dataclasses.replace` (re-exported as ``with_options``) to
+derive variants, and the CLI exposes ``--set key=value`` overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ReceiverConfig:
+    """All receiver knobs. Frozen + hashable => usable as a jit static arg."""
+
+    # --- processing -------------------------------------------------------
+    #: milliseconds of capture to process (reference: initialize.py:85)
+    ms_to_process: int = 37000
+    #: number of tracking channels (reference: initialize.py:88)
+    number_of_channels: int = 8
+    #: samples to skip at the start of the capture; the reference expresses
+    #: this in bytes but only supports 1-byte samples
+    #: (reference: initialize.py:94, tracking.py:107)
+    skip_samples: int = 0
+
+    # --- raw signal front-end ---------------------------------------------
+    #: default capture file (reference: initialize.py:99)
+    file_name: str = ""
+    #: on-disk sample encoding; 'int8' matches the reference
+    #: (reference: initialize.py:102); packed formats ('int4', 'int2',
+    #: 'int1', 'iq_int8') are handled by softgnss_tpu.io
+    data_format: str = "int8"
+    #: intermediate frequency after the RF front end, Hz
+    #: (reference: initialize.py:105)
+    intermediate_freq: float = 9_548_000.0
+    #: sampling frequency, Hz (reference: initialize.py:107)
+    sampling_freq: float = 38_192_000.0
+    #: C/A chipping rate, Hz (reference: initialize.py:109)
+    code_freq_basis: float = 1_023_000.0
+    #: chips per C/A code period (reference: initialize.py:112)
+    code_length: int = 1023
+
+    # --- acquisition --------------------------------------------------------
+    #: skip acquisition and reuse cached results (reference: initialize.py:117)
+    skip_acquisition: bool = False
+    #: PRNs to search, 1-based (reference: initialize.py:120)
+    acq_satellite_list: tuple[int, ...] = tuple(range(1, 33))
+    #: two-sided Doppler search band in kHz (reference: initialize.py:123)
+    acq_search_band_khz: float = 14.0
+    #: peak-to-second-peak detection threshold (reference: initialize.py:126)
+    acq_threshold: float = 2.5
+    #: Doppler bin spacing, Hz (hard-coded 500 in reference: acquisition.py:101)
+    acq_doppler_step_hz: float = 500.0
+    #: milliseconds of signal used by the fine-frequency search
+    #: (hard-coded 10 in reference: acquisition.py:172-177)
+    acq_fine_freq_ms: int = 10
+
+    # --- tracking loops ----------------------------------------------------
+    #: DLL damping ratio (reference: initialize.py:130)
+    dll_damping_ratio: float = 0.7
+    #: DLL noise bandwidth, Hz (reference: initialize.py:132)
+    dll_noise_bandwidth: float = 2.0
+    #: early/late correlator offset, chips (reference: initialize.py:134)
+    dll_correlator_spacing: float = 0.5
+    #: PLL damping ratio (reference: initialize.py:137)
+    pll_damping_ratio: float = 0.7
+    #: PLL noise bandwidth, Hz (reference: initialize.py:139)
+    pll_noise_bandwidth: float = 25.0
+    #: DLL loop gain (reference: tracking.py:45)
+    dll_loop_gain: float = 1.0
+    #: PLL loop gain (reference: tracking.py:52)
+    pll_loop_gain: float = 0.25
+    #: predetection integration time, s (reference: tracking.py:42,49)
+    pdi_s: float = 0.001
+
+    # --- navigation solution -------------------------------------------------
+    #: period between PVT fixes, ms (reference: initialize.py:144)
+    nav_sol_period_ms: int = 500
+    #: elevation mask, degrees (reference: initialize.py:147)
+    elevation_mask_deg: float = 10.0
+    #: apply tropospheric correction (reference: initialize.py:150)
+    use_trop_corr: bool = True
+    #: known true position (E, N, U) for plotting, or None
+    #: (reference: initialize.py:156)
+    true_position: tuple[float, float, float] | None = None
+
+    # --- plotting ------------------------------------------------------------
+    #: draw per-channel tracking dashboards (reference: initialize.py:165;
+    #: note the reference's gate is inverted — initialize.py:521 plots when
+    #: the flag is False. We use the flag with its stated meaning.)
+    plot_tracking: bool = False
+
+    # --- constants -----------------------------------------------------------
+    #: speed of light, m/s (reference: initialize.py:171)
+    speed_of_light: float = 299_792_458.0
+    #: nominal signal travel time added to pseudoranges, ms
+    #: (reference: initialize.py:173)
+    start_offset_ms: float = 68.802
+    #: GPS L1 carrier frequency, Hz (used by the signal simulator)
+    l1_freq: float = 1_575_420_000.0
+
+    # --- TPU-native knobs ------------------------------------------------------
+    #: PRNs per acquisition chunk: the (chunk, doppler, samples) correlation
+    #: tensor is materialized per chunk to bound HBM footprint
+    acq_prn_chunk: int = 8
+    #: extra samples beyond samples_per_code in the fixed tracking window
+    #: (covers code-NCO block-size wander of +/- a few samples)
+    track_window_extra: int = 8
+    #: use the fused Pallas correlator kernel where available
+    use_pallas_correlator: bool = False
+    #: mesh axis names for sharded runs
+    time_axis: str = "time"
+    channel_axis: str = "channel"
+    #: warmup (re-lock) milliseconds discarded at each time-shard boundary
+    #: when tracking is sharded over time blocks
+    time_shard_warmup_ms: int = 1000
+
+    # --- derived ----------------------------------------------------------------
+    @property
+    def samples_per_code(self) -> int:
+        """Samples in one C/A code period (reference: initialize.py:184-185)."""
+        return int(round(self.sampling_freq / (self.code_freq_basis / self.code_length)))
+
+    @property
+    def samples_per_chip(self) -> int:
+        """Whole samples per chip (reference: acquisition.py:145)."""
+        return int(round(self.sampling_freq / self.code_freq_basis))
+
+    @property
+    def num_doppler_bins(self) -> int:
+        """Doppler bins across the search band (reference: acquisition.py:68)."""
+        return int(round(self.acq_search_band_khz * 2) + 1)
+
+    @property
+    def doppler_bin_freqs(self) -> tuple[float, ...]:
+        """Absolute carrier frequencies searched (reference: acquisition.py:99-101)."""
+        lo = self.intermediate_freq - self.acq_search_band_khz / 2.0 * 1000.0
+        return tuple(lo + self.acq_doppler_step_hz * i for i in range(self.num_doppler_bins))
+
+    @property
+    def track_window(self) -> int:
+        """Fixed per-ms sample window for tracking (static shape for XLA)."""
+        return self.samples_per_code + self.track_window_extra
+
+    @property
+    def acquisition_ms(self) -> int:
+        """Milliseconds of signal consumed by acquisition (reference: initialize.py:481)."""
+        return self.acq_fine_freq_ms + 1
+
+    def loop_coefficients(self, noise_bw: float, damping: float, gain: float) -> tuple[float, float]:
+        """Second-order loop filter coefficients (tau1, tau2).
+
+        Wn = bw*8*zeta/(4*zeta^2+1); tau1 = k/Wn^2; tau2 = 2*zeta/Wn
+        (reference: initialize.py:306-328).
+        """
+        wn = noise_bw * 8.0 * damping / (4.0 * damping**2 + 1.0)
+        return gain / (wn * wn), 2.0 * damping / wn
+
+    @property
+    def dll_taus(self) -> tuple[float, float]:
+        return self.loop_coefficients(self.dll_noise_bandwidth, self.dll_damping_ratio, self.dll_loop_gain)
+
+    @property
+    def pll_taus(self) -> tuple[float, float]:
+        return self.loop_coefficients(self.pll_noise_bandwidth, self.pll_damping_ratio, self.pll_loop_gain)
+
+    def total_samples_needed(self) -> int:
+        """Upper bound on capture samples consumed by a full run."""
+        # acquisition reads acquisition_ms; tracking consumes ~1 code period
+        # per ms plus the initial code-phase offset (< 1 code period).
+        return self.skip_samples + (self.ms_to_process + 2) * self.samples_per_code
+
+    def with_options(self, **kwargs) -> "ReceiverConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def default_config(**kwargs) -> ReceiverConfig:
+    """The reference's default workload: fs=38.192 MHz, IF=9.548 MHz, 8 ch."""
+    return ReceiverConfig(**kwargs)
+
+
+def fast_config(**kwargs) -> ReceiverConfig:
+    """A small, fast configuration for tests: fs=4.096 MHz, IF=1 MHz.
+
+    samples_per_code = 4096 — everything is ~10x cheaper than the reference
+    workload while exercising identical code paths.  fs/chip-rate is
+    deliberately *incommensurate* (4.0039 samples/chip) like real front ends,
+    so chip boundaries do not land exactly on samples.
+    """
+    base = dict(
+        sampling_freq=4_096_000.0,
+        intermediate_freq=1_000_000.0,
+        ms_to_process=1000,
+        number_of_channels=4,
+    )
+    base.update(kwargs)
+    return ReceiverConfig(**base)

@@ -1,0 +1,106 @@
+"""Tracking tests: lock onto synthetic signals; parity vs the float64 oracle."""
+
+import numpy as np
+import pytest
+
+from softgnss_tpu import fast_config
+from softgnss_tpu.acquire.search import Channels
+from softgnss_tpu.oracle import oracle_track_channel
+from softgnss_tpu.signals.synth import SatelliteSignal, synthesize_signal
+from softgnss_tpu.track import track
+
+N_MS = 400
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return fast_config(number_of_channels=2)
+
+
+@pytest.fixture(scope="module")
+def setup(cfg):
+    nav_bits = tuple((-1) ** i for i in range(40))  # alternating bits, worst case
+    sats = [
+        SatelliteSignal(prn=9, doppler_hz=1200.0, delay_samples=500.0, amplitude=1.0,
+                        phase0=1.0, nav_bits=nav_bits),
+        SatelliteSignal(prn=23, doppler_hz=-800.0, delay_samples=2000.0, amplitude=1.1,
+                        phase0=2.5, nav_bits=nav_bits),
+    ]
+    signal = synthesize_signal(cfg, sats, N_MS + 3, noise_std=1.0, seed=11)
+    # hand tracking the exact truth (as the reference gets it from acquisition)
+    channels = Channels(
+        prn=np.array([9, 23], np.int64),
+        acquired_freq=np.array([cfg.intermediate_freq + 1200.0,
+                                cfg.intermediate_freq - 800.0]),
+        code_phase=np.array([500, 2000], np.int64),
+        status=["T", "T"],
+    )
+    return sats, signal, channels
+
+
+def test_tracking_locks_and_recovers_bits(cfg, setup):
+    sats, signal, channels = setup
+    res = track(cfg, signal, channels, n_ms=N_MS)
+    assert res.i_p.shape == (2, N_MS)
+
+    for c, sat in enumerate([s for s in sats]):
+        # PLL locked: carrier freq near truth after settling
+        truth_freq = cfg.intermediate_freq + sat.doppler_hz
+        settled = res.carr_freq[c, 100:]
+        assert abs(np.median(settled) - truth_freq) < 15.0
+        # code freq near Doppler-consistent chipping rate
+        # (the 2 Hz DLL settles slowly; judge the last 100 ms)
+        truth_code = sat.effective_code_freq(cfg)
+        assert abs(np.median(res.code_freq[c, -100:]) - truth_code) < 2.0
+        # nav bits on I_P: sign flips every 20 ms (alternating bits), and
+        # magnitude well above Q_P after lock
+        ip = res.i_p[c, 100:]
+        qp = res.q_p[c, 100:]
+        assert np.mean(np.abs(ip)) > 4 * np.mean(np.abs(qp))
+        # 20-ms bit structure: within-bit sign constancy
+        bits = np.sign(ip[: (len(ip) // 20) * 20].reshape(-1, 20))
+        consistency = np.abs(bits.sum(axis=1)) == 20
+        assert consistency.mean() > 0.95
+
+
+def test_absolute_sample_progression(cfg, setup):
+    _, signal, channels = setup
+    res = track(cfg, signal, channels, n_ms=N_MS)
+    for c in range(2):
+        diffs = np.diff(res.absolute_sample[c])
+        spc = cfg.samples_per_code
+        assert np.all(np.abs(diffs - spc) <= 2), "block sizes wander too far"
+        assert res.absolute_sample[c, 0] >= channels.code_phase[c]
+
+
+def test_parity_vs_float64_oracle(cfg, setup):
+    """<1e-3 RMS correlator deviation vs the reference-math oracle (BASELINE.md)."""
+    sats, signal, channels = setup
+    res = track(cfg, signal, channels, n_ms=N_MS)
+    for c, sat in enumerate(sats):
+        ora = oracle_track_channel(cfg, signal, sat.prn,
+                                   float(channels.acquired_freq[c]),
+                                   int(channels.code_phase[c]), N_MS)
+        scale = np.sqrt(np.mean(ora["i_p"] ** 2))
+        for key in ("i_p", "q_p", "i_e", "i_l", "q_e", "q_l"):
+            dev = np.sqrt(np.mean((res.__dict__[key][c] - ora[key]) ** 2)) / scale
+            assert dev < 1e-3, f"{key} RMS deviation {dev:.2e}"
+        # absolute sample counters must agree to within a sample
+        assert np.max(np.abs(res.absolute_sample[c] - ora["absolute_sample"])) <= 1
+        # loop-frequency trajectories
+        assert np.max(np.abs(res.carr_freq[c] - ora["carr_freq"])) < 0.5
+        assert np.max(np.abs(res.code_freq[c] - ora["code_freq"])) < 0.05
+
+
+def test_inactive_channel_stays_silent(cfg, setup):
+    _, signal, _ = setup
+    channels = Channels(
+        prn=np.array([9, 0], np.int64),
+        acquired_freq=np.array([cfg.intermediate_freq + 1200.0, 0.0]),
+        code_phase=np.array([500, 0], np.int64),
+        status=["T", "-"],
+    )
+    res = track(cfg, signal, channels, n_ms=50)
+    assert np.all(res.i_p[1] == 0)
+    assert np.all(res.absolute_sample[1] == 0)
+    assert np.any(res.i_p[0] != 0)
