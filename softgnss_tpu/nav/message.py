@@ -1,0 +1,268 @@
+"""GPS LNAV message codec: subframe encoder + ephemeris decoder.
+
+Decoder capability matches reference ephemeris.py:60-195 (subframes 1-3 ->
+clock + ephemeris fields, TOW from the HOW of the last subframe); the
+encoder is new — it produces transmitted bit streams (with correct parity
+chaining and D30* data inversion) that feed the signal synthesizer, giving
+the framework the closed-loop nav test path the reference lacks (SURVEY.md
+§4).
+
+Bit positions are 0-based indices into the 300-bit subframe of *source*
+(polarity-corrected) bits, identical to the reference's string slices
+(ephemeris.py:110-173).
+
+Documented divergences from the reference (per SURVEY.md §7 "quirks
+policy" — the reference's slices here are internally inconsistent):
+
+* T_GD: the reference reads 9 bits [195:204] (ephemeris.py:123) — one bit
+  early for the ICD's 8-bit field [196:204], overlapping its own IODC
+  low-byte slice.  We use the ICD field [196:204], 8 bits, scale 2^-31.
+* IODC low byte: the reference reads [196:204] (the T_GD bits!)
+  (ephemeris.py:125); the ICD places it at word 8 bits 1-8 = [210:218].
+  We use [210:218].
+
+Everything else (week number +1024, all scales, split fields, TOW*6-30)
+matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields as dc_fields
+
+import numpy as np
+
+from softgnss_tpu.nav.parity import encode_stream
+
+#: pi as defined for the GPS coordinate system (reference: ephemeris.py:95)
+GPS_PI = 3.1415926535898
+
+#: TLM preamble, 0/1 MSB first (10001011; reference: postNavigation.py:556)
+PREAMBLE_BITS: tuple[int, ...] = (1, 0, 0, 0, 1, 0, 1, 1)
+
+_SUBFRAME_BITS = 300
+_WORDS = 10
+_SECONDS_PER_SUBFRAME = 6
+
+
+@dataclass
+class Ephemeris:
+    """Broadcast clock + ephemeris of one satellite.
+
+    Field set identical to the reference's 27-field eph recarray
+    (postNavigation.py:118-121); None marks a field whose subframe was
+    not decoded.
+    """
+
+    week_number: int | None = None
+    accuracy: int | None = None
+    health: int | None = None
+    t_gd: float | None = None
+    iodc: int | None = None
+    t_oc: float | None = None
+    a_f2: float | None = None
+    a_f1: float | None = None
+    a_f0: float | None = None
+    iode_sf2: int | None = None
+    c_rs: float | None = None
+    delta_n: float | None = None
+    m_0: float | None = None
+    c_uc: float | None = None
+    e: float | None = None
+    c_us: float | None = None
+    sqrt_a: float | None = None
+    t_oe: float | None = None
+    c_ic: float | None = None
+    omega_0: float | None = None
+    c_is: float | None = None
+    i_0: float | None = None
+    c_rc: float | None = None
+    omega: float | None = None
+    omega_dot: float | None = None
+    iode_sf3: int | None = None
+    i_dot: float | None = None
+
+    @property
+    def complete(self) -> bool:
+        """Usable for satpos: needs IODC + both IODEs decoded
+        (reference gate: postNavigation.py:142-146)."""
+        return self.iodc is not None and self.iode_sf2 is not None and self.iode_sf3 is not None
+
+
+# --- field layout tables ----------------------------------------------------
+# (field, [(start, nbits), ...], scale, signed); value = int(bits) * scale.
+# pi-scaled angles use scale * GPS_PI.  Slices are 0-based [start, start+n).
+_S = [("week_number", [(60, 10)], 1, False),       # decoder adds 1024
+      ("accuracy", [(72, 4)], 1, False),
+      ("health", [(76, 6)], 1, False),
+      ("iodc", [(82, 2), (210, 8)], 1, False),     # ICD position (see module doc)
+      ("t_gd", [(196, 8)], 2.0 ** -31, True),      # ICD position (see module doc)
+      ("t_oc", [(218, 16)], 2.0 ** 4, False),
+      ("a_f2", [(240, 8)], 2.0 ** -55, True),
+      ("a_f1", [(248, 16)], 2.0 ** -43, True),
+      ("a_f0", [(270, 22)], 2.0 ** -31, True)]
+_SUBFRAME_1 = _S
+
+_SUBFRAME_2 = [
+    ("iode_sf2", [(60, 8)], 1, False),
+    ("c_rs", [(68, 16)], 2.0 ** -5, True),
+    ("delta_n", [(90, 16)], 2.0 ** -43 * GPS_PI, True),
+    ("m_0", [(106, 8), (120, 24)], 2.0 ** -31 * GPS_PI, True),
+    ("c_uc", [(150, 16)], 2.0 ** -29, True),
+    ("e", [(166, 8), (180, 24)], 2.0 ** -33, False),
+    ("c_us", [(210, 16)], 2.0 ** -29, True),
+    ("sqrt_a", [(226, 8), (240, 24)], 2.0 ** -19, False),
+    ("t_oe", [(270, 16)], 2.0 ** 4, False),
+]
+
+_SUBFRAME_3 = [
+    ("c_ic", [(60, 16)], 2.0 ** -29, True),
+    ("omega_0", [(76, 8), (90, 24)], 2.0 ** -31 * GPS_PI, True),
+    ("c_is", [(120, 16)], 2.0 ** -29, True),
+    ("i_0", [(136, 8), (150, 24)], 2.0 ** -31 * GPS_PI, True),
+    ("c_rc", [(180, 16)], 2.0 ** -5, True),
+    ("omega", [(196, 8), (210, 24)], 2.0 ** -31 * GPS_PI, True),
+    ("omega_dot", [(240, 24)], 2.0 ** -43 * GPS_PI, True),
+    ("iode_sf3", [(270, 8)], 1, False),
+    ("i_dot", [(278, 14)], 2.0 ** -43 * GPS_PI, True),
+]
+
+_LAYOUTS = {1: _SUBFRAME_1, 2: _SUBFRAME_2, 3: _SUBFRAME_3}
+_INT_FIELDS = {"week_number", "accuracy", "health", "iodc", "iode_sf2", "iode_sf3"}
+#: angle fields in semicircles: wrapped into [-pi, pi) before encoding (the
+#: two's-complement semicircle representation covers exactly one turn)
+_ANGLE_FIELDS = {"m_0", "omega_0", "omega", "i_0"}
+
+
+def _bits_to_uint(bits: np.ndarray) -> int:
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def _bits_to_int(bits: np.ndarray) -> int:
+    """Two's-complement read, MSB first (reference: ephemeris.py:7-24)."""
+    v = _bits_to_uint(bits)
+    if bits[0]:
+        v -= 1 << len(bits)
+    return v
+
+
+def _uint_to_bits(value: int, n: int) -> np.ndarray:
+    if not 0 <= value < (1 << n):
+        raise ValueError(f"value {value} does not fit in {n} unsigned bits")
+    return np.asarray([(value >> (n - 1 - i)) & 1 for i in range(n)], np.int8)
+
+
+def _int_to_bits(value: int, n: int) -> np.ndarray:
+    lo, hi = -(1 << (n - 1)), (1 << (n - 1)) - 1
+    if not lo <= value <= hi:
+        raise ValueError(f"value {value} does not fit in {n} signed bits")
+    return _uint_to_bits(value & ((1 << n) - 1), n)
+
+
+def encode_subframe_source(subframe_id: int, tow_count_next: int,
+                           eph: Ephemeris) -> np.ndarray:
+    """Source (pre-parity) bits of one subframe, (300,) 0/1.
+
+    Parity-region bits (positions w*30+24 .. w*30+29) are left 0 here; the
+    transmitted parity replaces them in :func:`build_nav_stream`.
+    ``tow_count_next`` is the 17-bit Z-count of the *next* subframe start,
+    as the ICD transmits it (reference decodes TOW*6-30, ephemeris.py:190).
+    """
+    bits = np.zeros(_SUBFRAME_BITS, np.int8)
+    bits[0:8] = PREAMBLE_BITS
+    bits[30:47] = _uint_to_bits(tow_count_next % (1 << 17), 17)
+    bits[49:52] = _uint_to_bits(subframe_id, 3)
+    if subframe_id in _LAYOUTS:
+        for name, slices, scale, signed in _LAYOUTS[subframe_id]:
+            value = getattr(eph, name)
+            if value is None:
+                raise ValueError(f"ephemeris field {name} is unset")
+            if name == "week_number":
+                raw = (int(value) - 1024) % 1024
+            elif name in _INT_FIELDS:
+                raw = int(value)
+            else:
+                value = float(value)
+                if name in _ANGLE_FIELDS:
+                    value = (value + GPS_PI) % (2.0 * GPS_PI) - GPS_PI
+                raw = int(round(value / scale))
+            total = sum(n for _, n in slices)
+            field_bits = _int_to_bits(raw, total) if signed else _uint_to_bits(raw, total)
+            k = 0
+            for start, n in slices:
+                bits[start:start + n] = field_bits[k:k + n]
+                k += n
+    return bits
+
+
+def build_nav_stream(eph: Ephemeris, first_tow_count: int, n_subframes: int,
+                     d29star: int = 0, d30star: int = 0) -> np.ndarray:
+    """Transmitted nav-bit stream of ``n_subframes`` consecutive subframes.
+
+    Subframe IDs cycle 1..5 with the frame phase implied by
+    ``first_tow_count`` (a subframe with Z-count z has ID (z mod 5)+1 for
+    z%5 in 0..4 -- i.e. frames start at Z-counts divisible by 5).  Returns
+    (n_subframes*300,) int8 of +/-1 transmitted chips-level bits (binary
+    1 -> +1), ready for the signal synthesizer's ``nav_bits``.
+    """
+    words = []
+    for k in range(n_subframes):
+        z = first_tow_count + k
+        sf_id = z % 5 + 1
+        src = encode_subframe_source(sf_id, (z + 1) % (1 << 17), eph)
+        words.append(src.reshape(_WORDS, 30)[:, :24])
+    source_words = np.concatenate(words, axis=0)
+    tx01 = encode_stream(source_words, d29star, d30star)
+    return (2 * tx01.astype(np.int8) - 1)
+
+
+def decode_ephemeris(bits, d30star) -> tuple[Ephemeris, float]:
+    """Decode 5 subframes (1500 bits) into an Ephemeris + TOW.
+
+    ``bits``: 1500 values, either 0/1 or +/-1 (+1 == binary 1), first
+    element the first bit of a subframe; ``d30star``: the preceding bit.
+    Math identical to reference ephemeris.py:60-190 (with the two ICD
+    slice corrections in the module docstring); implementation is
+    vectorized array ops instead of per-character string editing.
+    """
+    bits = np.asarray(bits)
+    if bits.shape[0] < 5 * _SUBFRAME_BITS:
+        raise ValueError("need 1500 bits (5 subframes)")
+    bits = bits[:5 * _SUBFRAME_BITS]
+    if np.any(bits < 0) or np.any(bits > 1):
+        bits = (bits > 0).astype(np.int8)   # +/-1 -> 0/1
+    else:
+        bits = bits.astype(np.int8)
+    d30star = 1 if d30star > 0 else 0
+
+    # --- per-word polarity correction (reference checkPhase, ephemeris.py:30-56)
+    words = bits.reshape(50, 30).copy()
+    d30 = np.empty(50, np.int8)
+    d30[0] = d30star
+    d30[1:] = words[:-1, 29]
+    words[:, :24] ^= d30[:, None]          # un-XOR data bits where D30* == 1
+    source = words.reshape(5, _SUBFRAME_BITS)
+
+    eph = Ephemeris()
+    tow_field = None
+    for sf in range(5):
+        subframe = source[sf]
+        sf_id = _bits_to_uint(subframe[49:52])
+        if sf_id in _LAYOUTS:
+            for name, slices, scale, signed in _LAYOUTS[sf_id]:
+                raw_bits = np.concatenate([subframe[s:s + n] for s, n in slices])
+                raw = _bits_to_int(raw_bits) if signed else _bits_to_uint(raw_bits)
+                if name == "week_number":
+                    setattr(eph, name, raw + 1024)
+                elif name in _INT_FIELDS:
+                    setattr(eph, name, raw)
+                else:
+                    setattr(eph, name, raw * scale)
+        tow_field = _bits_to_uint(subframe[30:47])
+
+    # TOW of the first subframe: the last subframe's HOW holds the Z-count
+    # of the sixth subframe (reference: ephemeris.py:190)
+    tow = tow_field * _SECONDS_PER_SUBFRAME - 30
+    return eph, float(tow)

@@ -1,0 +1,253 @@
+"""Navigation orchestration: tracking output -> ephemerides -> PVT fixes.
+
+Covers reference postNavigation.py:27-305 (calculatePseudoranges +
+postNavigate): find preambles, integrate nav bits, decode ephemerides,
+then per measurement epoch compute pseudoranges from the tracked
+``absolute_sample`` counters, propagate satellites, and solve
+least-squares PVT with elevation masking and geodetic/UTM conversion.
+
+TPU-first: the measurement-epoch loop is ONE jitted ``lax.scan`` carrying
+the elevation mask — per epoch it does a masked min for pseudoranges, a
+vmapped Kepler propagation, the fixed-iteration masked Gauss-Newton PVT,
+and cart2geo — instead of the reference's Python loop calling per-satellite
+routines (postNavigation.py:199-301).
+
+Documented divergences (reference quirks NOT replicated, SURVEY.md §7):
+
+* epoch capacity is sized from the data (the reference hardcodes 64
+  epochs and overflows at 72, postNavigation.py:178-198),
+* channels are indexed by channel number, not by position in the active
+  list (postNavigation.py:122-125,566-570),
+* channels whose decoded TOW disagrees with the majority are dropped with
+  a warning (the reference silently uses the last channel's TOW,
+  postNavigation.py:140,172),
+* the UTM zone is computed once from the first valid fix and reused (the
+  reference recomputes per epoch; it is constant for a static receiver).
+"""
+
+from __future__ import annotations
+
+import logging
+from collections import Counter
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from softgnss_tpu.config import ReceiverConfig
+from softgnss_tpu.nav.geodesy import cart2geo, cart2utm, find_utm_zone
+from softgnss_tpu.nav.message import Ephemeris, decode_ephemeris
+from softgnss_tpu.nav.orbit import ORBIT_FIELDS, _satpos_one, pack_ephemerides
+from softgnss_tpu.nav.preamble import find_preambles
+from softgnss_tpu.nav.pvt import solve_epoch
+
+logger = logging.getLogger(__name__)
+
+_MS_PER_BIT = 20
+_FRAME_BITS = 1500
+#: minimum capture for a solution: 5 subframes + sync margin
+#: (reference guard: postNavigation.py:104)
+MIN_NAV_MS = 36000
+
+
+@dataclass
+class NavSolutions:
+    """Per-epoch navigation solutions (E epochs, C channels).
+
+    Field roles mirror the reference's navSolutions recarray
+    (postNavigation.py:178-198) with data-sized epoch capacity.
+    """
+
+    x: np.ndarray            # (E,) ECEF, m
+    y: np.ndarray
+    z: np.ndarray
+    dt: np.ndarray           # (E,) receiver clock bias, m
+    latitude: np.ndarray     # (E,) deg
+    longitude: np.ndarray    # (E,) deg
+    height: np.ndarray       # (E,) m
+    e: np.ndarray            # (E,) UTM easting
+    n: np.ndarray            # (E,) UTM northing
+    u: np.ndarray            # (E,) UTM up
+    dop: np.ndarray          # (5, E) GDOP PDOP HDOP VDOP TDOP
+    prn: np.ndarray          # (C, E) int, 0 where unused
+    el: np.ndarray           # (C, E) deg
+    az: np.ndarray           # (C, E) deg
+    raw_p: np.ndarray        # (C, E) m
+    corrected_p: np.ndarray  # (C, E) m
+    utm_zone: int
+    first_subframe: np.ndarray  # (C,) ms index of first preamble (0 = none)
+    tow: float               # GPS time of week of the first epoch, s
+
+    @property
+    def n_epochs(self) -> int:
+        return self.x.shape[0]
+
+
+def calculate_pseudoranges(config: ReceiverConfig, absolute_sample: np.ndarray,
+                           ms_of_signal: np.ndarray, channel_list: np.ndarray) -> np.ndarray:
+    """Relative pseudoranges (m) at per-channel millisecond indices.
+
+    ``absolute_sample``: (C, n_ms) tracked sample counters;
+    ``ms_of_signal``: (C,) per-channel ms index; ``channel_list``: active
+    channel indices.  Math per reference postNavigation.py:27-72.
+    """
+    c_ch = absolute_sample.shape[0]
+    travel = np.full(c_ch, np.inf)
+    for ch in channel_list:
+        travel[ch] = absolute_sample[ch, int(ms_of_signal[ch])] / config.samples_per_code
+    travel = travel - np.floor(travel.min()) + config.start_offset_ms
+    return travel * config.speed_of_light / 1000.0
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
+                travel_time, transmit_times):
+    """Scan over measurement epochs.
+
+    packed_eph: (C, F); base_mask: (C,) bool; travel_time: (C, E) ms units;
+    transmit_times: (E,) s.
+    """
+    elev_mask = config.elevation_mask_deg
+    c_light = config.speed_of_light
+
+    def step(sat_elev, inputs):
+        travel, t_tx = inputs
+        mask = base_mask & (sat_elev >= elev_mask)
+
+        # pseudoranges: masked min (reference postNavigation.py:52-71)
+        tmin = jnp.floor(jnp.min(jnp.where(mask, travel, jnp.inf)))
+        raw_p = (travel - tmin + config.start_offset_ms) * c_light / 1000.0
+
+        sat_pos, clk = jax.vmap(partial(_satpos_one, t_tx))(packed_eph)
+        obs = raw_p + clk * c_light
+
+        pos, el, az, dop = solve_epoch(sat_pos, obs, mask, use_trop)
+        ok = jnp.sum(mask) > 3
+
+        nan = jnp.float64(jnp.nan)
+        pos = jnp.where(ok, pos, nan)
+        dop = jnp.where(ok, dop, 0.0)
+        el_out = jnp.where(ok & mask, el, nan)
+        az_out = jnp.where(ok & mask, az, nan)
+        corrected = jnp.where(mask, raw_p + clk * c_light + pos[3], nan)
+        lat, lon, hgt = cart2geo(pos[0], pos[1], pos[2], 4)
+
+        # carry: masked-out or failed epochs propagate NaN elevations, so a
+        # satellite below the mask stays excluded (reference behavior,
+        # postNavigation.py:241 + the nan-initialized el columns)
+        new_elev = jnp.where(ok & mask, el, nan)
+        outs = (pos, dop, el_out, az_out, jnp.where(mask, raw_p, nan), corrected,
+                lat, lon, hgt)
+        return new_elev, outs
+
+    init_elev = jnp.full(base_mask.shape, jnp.inf)
+    _, outs = jax.lax.scan(step, init_elev, (travel_time.T, transmit_times))
+    return outs
+
+
+def post_navigate(config: ReceiverConfig, track) -> tuple[NavSolutions | None, list[Ephemeris | None]]:
+    """Full navigation stage on tracking output.
+
+    ``track``: a TrackResults (softgnss_tpu.track.scan) or any object with
+    ``i_p (C, n_ms)``, ``absolute_sample (C, n_ms)``, ``status``, ``prn``.
+    Returns (solutions | None, per-PRN ephemeris list of length 32).
+    """
+    eph_by_prn: list[Ephemeris | None] = [None] * 32
+    i_p = np.asarray(track.i_p)
+    n_ms = i_p.shape[1]
+    n_tracked = sum(1 for s in track.status if s != "-")
+    if n_ms < MIN_NAV_MS or n_tracked < 4:
+        logger.warning("Record too short or too few satellites tracked "
+                       "(%d ms, %d channels).", n_ms, n_tracked)
+        return None, eph_by_prn
+
+    first_subframe, active = find_preambles(i_p, track.status)
+
+    # --- decode ephemerides (reference postNavigation.py:115-146) ----------
+    ephs: dict[int, Ephemeris] = {}
+    tows: dict[int, float] = {}
+    for ch in list(active):
+        start = int(first_subframe[ch])
+        if start - _MS_PER_BIT < 0 or start + _FRAME_BITS * _MS_PER_BIT > n_ms:
+            active = np.setdiff1d(active, ch)
+            continue
+        window = i_p[ch, start - _MS_PER_BIT: start + _FRAME_BITS * _MS_PER_BIT]
+        bits = np.where(window.reshape(-1, _MS_PER_BIT).sum(axis=1) > 0, 1, -1)
+        eph, tow = decode_ephemeris(bits[1:], bits[0])
+        if not eph.complete:
+            active = np.setdiff1d(active, ch)
+            continue
+        ephs[ch] = eph
+        tows[ch] = tow
+        eph_by_prn[int(track.prn[ch]) - 1] = eph
+
+    if len(active) < 4:
+        logger.warning("Too few satellites with ephemeris data (%d).", len(active))
+        return None, eph_by_prn
+
+    # --- TOW consistency: drop channels locked to a different subframe ----
+    tow_common, _ = Counter(tows[ch] for ch in active).most_common(1)[0]
+    for ch in list(active):
+        if tows[ch] != tow_common:
+            logger.warning("Channel %d TOW %.0f disagrees with majority %.0f; dropped.",
+                           ch, tows[ch], tow_common)
+            active = np.setdiff1d(active, ch)
+    if len(active) < 4:
+        logger.warning("Too few TOW-consistent satellites (%d).", len(active))
+        return None, eph_by_prn
+
+    # --- epoch setup -------------------------------------------------------
+    c_ch = i_p.shape[0]
+    period = config.nav_sol_period_ms
+    max_start = int(first_subframe[active].max())
+    n_epochs = int((n_ms - max_start) // period)
+    if n_epochs < 1:
+        logger.warning("No full measurement epoch after subframe sync.")
+        return None, eph_by_prn
+
+    base_mask = np.zeros(c_ch, bool)
+    base_mask[active] = True
+
+    # per-channel travel times (ms units) at every epoch's measurement point
+    absolute_sample = np.asarray(track.absolute_sample)
+    travel = np.full((c_ch, n_epochs), np.inf)
+    for ch in active:
+        ms_idx = first_subframe[ch] + period * np.arange(n_epochs)
+        travel[ch] = absolute_sample[ch, ms_idx] / config.samples_per_code
+
+    # packed ephemerides; inactive rows get a valid dummy (masked in solver)
+    dummy = ephs[int(active[0])]
+    packed = pack_ephemerides([ephs.get(ch, dummy) for ch in range(c_ch)])
+
+    transmit_times = tow_common + period / 1000.0 * np.arange(n_epochs)
+
+    outs = _epoch_scan(config, bool(config.use_trop_corr),
+                       jnp.asarray(packed), jnp.asarray(base_mask),
+                       jnp.asarray(travel), jnp.asarray(transmit_times))
+    (pos, dop, el, az, raw_p, corrected, lat, lon, hgt) = map(np.asarray, outs)
+
+    # --- UTM conversion (zone fixed from the first valid fix) --------------
+    valid = np.isfinite(lat)
+    if valid.any():
+        k = int(valid.nonzero()[0][0])
+        utm_zone = find_utm_zone(float(lat[k]), float(lon[k]))
+        e_utm, n_utm, u_utm = (np.asarray(v) for v in
+                               cart2utm(pos[:, 0], pos[:, 1], pos[:, 2], utm_zone))
+    else:
+        utm_zone = 0
+        e_utm = n_utm = u_utm = np.full(n_epochs, np.nan)
+
+    prn = np.zeros((c_ch, n_epochs), np.int64)
+    prn[active] = np.asarray(track.prn)[active, None]
+
+    solutions = NavSolutions(
+        x=pos[:, 0], y=pos[:, 1], z=pos[:, 2], dt=pos[:, 3],
+        latitude=lat, longitude=lon, height=hgt,
+        e=e_utm, n=n_utm, u=u_utm,
+        dop=dop.T, prn=prn, el=el.T, az=az.T,
+        raw_p=raw_p.T, corrected_p=corrected.T,
+        utm_zone=utm_zone, first_subframe=first_subframe, tow=float(tow_common),
+    )
+    return solutions, eph_by_prn

@@ -1,0 +1,196 @@
+"""Observables-level navigation integration: fabricated tracking output
+(I_P nav-bit stream + absolute_sample counters consistent with a known
+receiver position and satellite constellation) -> post_navigate recovers
+the position.
+
+This exercises preamble sync, parity, ephemeris decode, pseudoranges,
+Kepler propagation, and the epoch-scan PVT without the RF/tracking layer
+(that closed loop lives in tests/test_end_to_end.py).
+"""
+
+import numpy as np
+import pytest
+
+import softgnss_tpu as sg
+from softgnss_tpu.nav.geodesy import e_r_corr, geo2cart
+from softgnss_tpu.nav.message import build_nav_stream
+from softgnss_tpu.nav.orbit import satellite_positions
+from softgnss_tpu.nav.preamble import find_preambles
+from softgnss_tpu.nav.pvt import SPEED_OF_LIGHT
+from softgnss_tpu.nav.solve import post_navigate
+from tests.test_geodesy_pvt import circular_eph
+
+TOW_COUNT = 70000          # multiple of 5 -> frames start here
+N_MS = 37000
+
+
+def visible_constellation(rx, n_sats, t):
+    """Circular-orbit ephemerides whose satellites sit above 15 deg at rx."""
+    from softgnss_tpu.nav.geodesy import topocent
+
+    ephs = []
+    lat = np.deg2rad(47.0)
+    rng = np.random.default_rng(11)
+    # scatter node/anomaly so satellites land around the sky above rx
+    trial = 0
+    while len(ephs) < n_sats and trial < 400:
+        trial += 1
+        eph = circular_eph(
+            i_0=float(rng.uniform(0.8, 1.1)),
+            omega_0=float(rng.uniform(0, 2 * np.pi)),
+            m_0=float(rng.uniform(0, 2 * np.pi)),
+            t_oe=float(TOW_COUNT * 6),
+        )
+        pos, _ = satellite_positions(t, [eph])
+        _, el, _ = topocent(rx, pos[:, 0] - rx)
+        if float(el) > 20.0:
+            ephs.append(eph)
+    assert len(ephs) == n_sats, "constellation generation failed"
+    return ephs
+
+
+def travel_times(rx, eph, t_tx):
+    """Signal flight time(s) from satellite (at transmit times) to rx, with
+    earth-rotation correction — the same model the PVT solver inverts.
+    Vectorized NumPy (uses the independent orbit oracle)."""
+    from tests.test_geodesy_pvt import numpy_satpos_oracle
+
+    t_tx = np.atleast_1d(np.asarray(t_tx, np.float64))
+    pos, _ = numpy_satpos_oracle(t_tx, eph)       # (3, T)
+    tau = np.full(t_tx.shape, 0.07)
+    w = 7.292115147e-5
+    for _ in range(4):
+        ang = w * tau
+        rot = np.stack([np.cos(ang) * pos[0] + np.sin(ang) * pos[1],
+                        -np.sin(ang) * pos[0] + np.cos(ang) * pos[1],
+                        pos[2]])
+        tau = np.linalg.norm(rot - rx[:, None], axis=0) / SPEED_OF_LIGHT
+    return tau
+
+
+def travel_time(rx, eph, t_tx):
+    return float(travel_times(rx, eph, t_tx)[0])
+
+
+class FakeTrack:
+    pass
+
+
+def build_track(config, rx, ephs, t_rx0):
+    """Fabricate TrackResults-like observables for the given geometry.
+
+    ``t_rx0``: GPS time at tracked millisecond 0.  For channel i, the nav
+    bit with index b (stream starts one subframe before TOW_COUNT) begins
+    arriving at GPS time (TOW_COUNT-1)*6 + 0.02*b + tau_i.
+    """
+    c = len(ephs)
+    n_bits = N_MS // 20 + 400
+    t_bits0 = (TOW_COUNT - 1) * 6.0
+
+    i_p = np.zeros((c, N_MS))
+    absolute_sample = np.zeros((c, N_MS))
+    fs = config.sampling_freq
+    amp = 5000.0
+    m = np.arange(N_MS)
+
+    for ch, eph in enumerate(ephs):
+        stream = build_nav_stream(eph, TOW_COUNT - 1, n_bits // 300 + 2)
+        tau0 = travel_time(rx, eph, t_rx0)
+        # transmit times of the code periods logged at each ms.  A
+        # code-locked tracker's period boundaries sit on the satellite's
+        # own 1-ms code-epoch grid (integer ms of GPS time here), so anchor
+        # there; 1-period lag like the reference's fid.tell() bookkeeping.
+        t_anchor = np.floor((t_rx0 - tau0) * 1000.0) / 1000.0
+        t_tx = t_anchor + (m + 1) * 1e-3
+        tau = travel_times(rx, eph, t_tx)
+        absolute_sample[ch] = (t_tx + tau - t_rx0) * fs
+        bit_idx = np.floor((t_tx - 1e-3 / 2 - t_bits0) / 0.02).astype(np.int64)
+        i_p[ch] = amp * stream[bit_idx % len(stream)]
+
+    track = FakeTrack()
+    track.i_p = i_p
+    track.absolute_sample = absolute_sample
+    track.status = ["T"] * c
+    track.prn = np.arange(1, c + 1)
+    return track
+
+
+@pytest.fixture(scope="module")
+def nav_case():
+    config = sg.fast_config(number_of_channels=5, ms_to_process=N_MS,
+                            use_trop_corr=False)
+    rx = np.asarray(geo2cart(np.array([47.0, 0, 0]), np.array([8.5, 0, 0]), 500.0, 4))
+    t_rx0 = TOW_COUNT * 6.0 - 0.35      # first preamble arrives ~350 ms in
+    ephs = visible_constellation(rx, 5, TOW_COUNT * 6.0)
+    track = build_track(config, rx, ephs, t_rx0)
+    return config, rx, ephs, track, t_rx0
+
+
+class TestPreambleSync:
+    def test_finds_subframe_starts(self, nav_case):
+        config, rx, ephs, track, t_rx0 = nav_case
+        first, active = find_preambles(track.i_p, track.status)
+        assert len(active) == len(ephs)
+        for ch in active:
+            # expected arrival ms of the TOW_COUNT subframe's first bit
+            tau = travel_time(rx, ephs[ch], TOW_COUNT * 6.0)
+            expect = (TOW_COUNT * 6.0 + tau - t_rx0) * 1000.0
+            assert abs(first[ch] - expect) <= 1.5
+
+    def test_no_preamble_in_noise(self, rng):
+        i_p = rng.normal(size=(2, 8000))
+        first, active = find_preambles(i_p, ["T", "T"])
+        assert active.size == 0
+        assert np.all(first == 0)
+
+
+class TestPostNavigate:
+    def test_recovers_receiver_position(self, nav_case):
+        config, rx, ephs, track, _ = nav_case
+        sol, eph_by_prn = post_navigate(config, track)
+        assert sol is not None
+        assert sol.tow == TOW_COUNT * 6
+        assert sol.n_epochs >= 70
+        ok = np.isfinite(sol.x)
+        assert ok.all()
+        err = np.sqrt((sol.x - rx[0]) ** 2 + (sol.y - rx[1]) ** 2 + (sol.z - rx[2]) ** 2)
+        # absolute_sample carries exact (float) boundary times here; the
+        # residual is broadcast-ephemeris quantization (~0.1 m ranges)
+        # amplified by DOP
+        assert np.max(err) < 5.0
+        assert np.std(err) < 1.0
+        assert np.all(np.isfinite(sol.dt))
+        assert np.all(sol.dop[0][ok] > 0)
+        assert eph_by_prn[0] is not None and eph_by_prn[0].complete
+        assert np.isfinite(sol.e).all() and np.isfinite(sol.n).all()
+        assert sol.utm_zone == 32
+        lat_err = abs(sol.latitude - 47.0).max()
+        assert lat_err < 1e-6
+
+    def test_elevation_mask_and_el_az_ranges(self, nav_case):
+        config, rx, ephs, track, _ = nav_case
+        sol, _ = post_navigate(config, track)
+        el = sol.el[np.isfinite(sol.el)]
+        az = sol.az[np.isfinite(sol.az)]
+        assert np.all(el >= config.elevation_mask_deg)
+        assert np.all((az >= 0) & (az < 360))
+
+    def test_too_short_record(self, nav_case):
+        config, rx, ephs, track, _ = nav_case
+        short = FakeTrack()
+        short.i_p = track.i_p[:, :10000]
+        short.absolute_sample = track.absolute_sample[:, :10000]
+        short.status = track.status
+        short.prn = track.prn
+        sol, _ = post_navigate(config, short)
+        assert sol is None
+
+    def test_too_few_channels(self, nav_case):
+        config, rx, ephs, track, _ = nav_case
+        few = FakeTrack()
+        few.i_p = track.i_p
+        few.absolute_sample = track.absolute_sample
+        few.status = ["T", "T", "T", "-", "-"]
+        few.prn = track.prn
+        sol, _ = post_navigate(config, few)
+        assert sol is None
