@@ -36,3 +36,10 @@ _jax.config.update("jax_enable_x64", True)
 from softgnss_tpu.config import ReceiverConfig, default_config, fast_config  # noqa: E402,F401
 
 __version__ = "0.1.0"
+
+
+def run_receiver(*args, **kwargs):
+    """Convenience re-export of softgnss_tpu.pipeline.run_receiver."""
+    from softgnss_tpu.pipeline import run_receiver as _run
+
+    return _run(*args, **kwargs)

@@ -1,0 +1,170 @@
+"""Receiver pipeline: probe -> acquire -> track -> navigate.
+
+The reference's orchestrator is Settings.postProcessing
+(initialize.py:454-527): open file, read 11 ms, acquire, allocate
+channels, track (with a .npy cache), postNavigate, plot.  This pipeline
+keeps that staged shape but:
+
+* the capture is loaded once (file or in-memory array) and handed to the
+  jitted stages whole — no file handle threading,
+* per-stage wall times are recorded first-class (the reference prints the
+  tracking time only, initialize.py:499-509),
+* tracking results can be checkpointed to .npz and reloaded explicitly
+  (``checkpoint=`` argument) — the reference's silent stale-cache pickup
+  (initialize.py:504-507) is a documented hazard we do not replicate,
+* plotting is separate (softgnss_tpu.plots) and never gates computation
+  (the reference's inverted plot gate, initialize.py:521, is fixed).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from softgnss_tpu import io as sio
+from softgnss_tpu.acquire.search import (
+    AcquisitionResults,
+    Channels,
+    acquire,
+    assign_channels,
+    format_channel_status,
+)
+from softgnss_tpu.config import ReceiverConfig
+from softgnss_tpu.nav.message import Ephemeris
+from softgnss_tpu.nav.solve import NavSolutions, post_navigate
+from softgnss_tpu.track.scan import TrackResults, track
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ReceiverResults:
+    """Everything a full receiver run produces."""
+
+    config: ReceiverConfig
+    probe: dict | None = None
+    acquisition: AcquisitionResults | None = None
+    channels: Channels | None = None
+    tracking: TrackResults | None = None
+    solutions: NavSolutions | None = None
+    ephemerides: list[Ephemeris | None] = field(default_factory=lambda: [None] * 32)
+    timings_s: dict = field(default_factory=dict)
+
+    @property
+    def has_fix(self) -> bool:
+        return self.solutions is not None and np.isfinite(self.solutions.x).any()
+
+    def summary(self) -> str:
+        lines = []
+        if self.acquisition is not None:
+            n_acq = int(self.acquisition.acquired.sum())
+            lines.append(f"Acquired {n_acq} satellites: "
+                         f"{[i + 1 for i in np.flatnonzero(self.acquisition.acquired)]}")
+        if self.channels is not None:
+            lines.append(format_channel_status(self.config, self.channels))
+        if self.tracking is not None:
+            lines.append(f"Tracked {self.tracking.n_ms} ms on "
+                         f"{sum(1 for s in self.tracking.status if s != '-')} channels")
+        if self.solutions is not None:
+            ok = np.isfinite(self.solutions.latitude)
+            if ok.any():
+                lines.append(
+                    f"PVT: {int(ok.sum())}/{self.solutions.n_epochs} fixes, mean "
+                    f"lat {np.nanmean(self.solutions.latitude):.6f} deg, "
+                    f"lon {np.nanmean(self.solutions.longitude):.6f} deg, "
+                    f"hgt {np.nanmean(self.solutions.height):.1f} m, "
+                    f"mean PDOP {np.nanmean(self.solutions.dop[1]):.2f}")
+            else:
+                lines.append("PVT: no fixes")
+        elif self.tracking is not None:
+            lines.append("PVT: navigation solution not computed")
+        for stage, dt in self.timings_s.items():
+            lines.append(f"  {stage:12s} {dt:8.2f} s")
+        return "\n".join(lines)
+
+
+def save_tracking(path: str, tracking: TrackResults) -> None:
+    """Checkpoint tracking output to .npz (resume navigation without
+    re-tracking — the capability behind the reference's .npy cache)."""
+    np.savez_compressed(
+        path, prn=tracking.prn, status=np.asarray(tracking.status),
+        **{k: getattr(tracking, k) for k in (
+            "absolute_sample", "code_freq", "carr_freq", "i_p", "i_e", "i_l",
+            "q_e", "q_p", "q_l", "dll_discr", "dll_discr_filt", "pll_discr",
+            "pll_discr_filt")})
+
+
+def load_tracking(path: str) -> TrackResults:
+    data = np.load(path, allow_pickle=False)
+    return TrackResults(
+        prn=data["prn"], status=[str(s) for s in data["status"]],
+        **{k: data[k] for k in (
+            "absolute_sample", "code_freq", "carr_freq", "i_p", "i_e", "i_l",
+            "q_e", "q_p", "q_l", "dll_discr", "dll_discr_filt", "pll_discr",
+            "pll_discr_filt")})
+
+
+def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
+                 file_name: str | None = None, n_ms: int | None = None,
+                 probe: bool = False, navigate: bool = True,
+                 checkpoint: str | None = None) -> ReceiverResults:
+    """Run the full receiver chain.
+
+    ``signal``: in-memory int8 capture (absolute sample indexing including
+    ``config.skip_samples``), or ``file_name`` to read one.  ``n_ms``
+    overrides ``config.ms_to_process``.  ``checkpoint``: path to a .npz
+    tracking checkpoint — loaded if it exists, written after tracking
+    otherwise.
+    """
+    import os
+
+    results = ReceiverResults(config=config)
+    if signal is None:
+        if not (file_name or config.file_name):
+            raise ValueError("provide signal= or file_name=")
+        t0 = time.monotonic()
+        signal = sio.read_if_samples(file_name or config.file_name, config)
+        results.timings_s["read"] = time.monotonic() - t0
+    signal = np.asarray(signal)
+
+    n_ms = int(config.ms_to_process if n_ms is None else n_ms)
+    skip = config.skip_samples
+    spc = config.samples_per_code
+
+    if probe:
+        results.probe = sio.probe_data(config, signal[skip:])
+
+    # --- acquisition (reference: initialize.py:481-492) --------------------
+    t0 = time.monotonic()
+    acq_need = config.acquisition_ms * spc
+    if len(signal) < skip + acq_need:
+        raise ValueError(f"capture too short for acquisition: need "
+                         f"{skip + acq_need} samples, got {len(signal)}")
+    results.acquisition = acquire(config, signal[skip: skip + acq_need])
+    results.timings_s["acquire"] = time.monotonic() - t0
+
+    if not results.acquisition.acquired.any():
+        logger.warning("No GNSS signals detected, signal processing finished.")
+        return results
+    results.channels = assign_channels(config, results.acquisition)
+
+    # --- tracking -----------------------------------------------------------
+    t0 = time.monotonic()
+    if checkpoint is not None and os.path.exists(checkpoint):
+        logger.info("Loading tracking checkpoint %s", checkpoint)
+        results.tracking = load_tracking(checkpoint)
+    else:
+        results.tracking = track(config, signal, results.channels, n_ms=n_ms)
+        if checkpoint is not None:
+            save_tracking(checkpoint, results.tracking)
+    results.timings_s["track"] = time.monotonic() - t0
+
+    # --- navigation ---------------------------------------------------------
+    if navigate:
+        t0 = time.monotonic()
+        results.solutions, results.ephemerides = post_navigate(config, results.tracking)
+        results.timings_s["navigate"] = time.monotonic() - t0
+    return results

@@ -148,6 +148,97 @@ def synthesize_signal(config: ReceiverConfig, sats: list[SatelliteSignal],
     return np.asarray(jax.device_get(out))
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 5))
+def _synth_dynamic_chunks(config: ReceiverConfig, prns: tuple, n_ms: int,
+                          sat_dynamic: dict, noise_key, noise_std: float):
+    """Per-ms-piecewise-linear-delay synthesis: scan over 1-ms chunks.
+
+    The delay tables sample the true light time at every ms boundary; within
+    a chunk tau(t) is interpolated linearly (curvature error over 1 ms is
+    ~1e-7 samples for GPS dynamics), keeping code phase and carrier phase
+    continuous and geometry-consistent across the whole capture.
+    """
+    spms = config.samples_per_code
+    fs = config.sampling_freq
+    f_l1 = config.l1_freq
+    f_if = config.intermediate_freq
+    fc = config.code_freq_basis
+
+    codes = jnp.asarray(gold_codes()[np.asarray(prns) - 1], jnp.float32)  # (S, 1023)
+    bit_table = sat_dynamic["bits"]          # (S, n_bits) f32 +/-1
+    n_bits = bit_table.shape[1]
+    amp = sat_dynamic["amp"]                 # (S,)
+    phi0 = sat_dynamic["phi0"]               # (S,) f64 rad
+    delays = sat_dynamic["delays"]           # (S, n_ms+1) f64 seconds
+    t_offset = sat_dynamic["t_offset"]       # scalar f64: t_rx0 - t_bits0
+
+    k_local = jnp.arange(spms, dtype=jnp.float64)
+
+    def one_sat_chunk(code, bits, a, p0, d0, d1, t0):
+        t = t0 + k_local / fs                       # receiver time since capture
+        tau = d0 + (d1 - d0) * (k_local / spms)
+        t_tx = t_offset + t - tau                   # transmit time since bit 0
+        chips = fc * t_tx
+        chip_idx = jnp.floor(chips).astype(jnp.int64)
+        code_val = code[(chip_idx % 1023).astype(jnp.int32)]
+        bit_idx = jnp.floor_divide(chip_idx, 1023 * _BITS_PER_PERIOD)
+        bit_val = bits[jnp.clip(bit_idx, 0, n_bits - 1).astype(jnp.int32)]
+        # carrier phase in cycles, reduced mod 1 before the sin for accuracy
+        cycles = f_if * t - f_l1 * tau + p0 / (2.0 * jnp.pi)
+        ang = 2.0 * jnp.pi * (cycles - jnp.floor(cycles))
+        carrier = jnp.sin(ang).astype(jnp.float32)
+        return a * code_val * bit_val * carrier
+
+    def chunk_step(carry_key, ms):
+        t0 = ms.astype(jnp.float64) * (spms / fs)
+        per_sat = jax.vmap(one_sat_chunk, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            codes, bit_table, amp, phi0, delays[:, ms], delays[:, ms + 1], t0)
+        x = per_sat.sum(axis=0)
+        key, sub = jax.random.split(carry_key)
+        if noise_std > 0.0:
+            x = x + noise_std * jax.random.normal(sub, (spms,), jnp.float32)
+        q = jnp.clip(jnp.round(x), -128, 127).astype(jnp.int8)
+        return key, q
+
+    _, out = jax.lax.scan(chunk_step, noise_key, jnp.arange(n_ms, dtype=jnp.int64))
+    return out.reshape(-1)
+
+
+def synthesize_dynamic(config: ReceiverConfig, prns: list[int],
+                       delays_s: np.ndarray, bit_streams: np.ndarray,
+                       t_rx0_minus_bits0: float, n_ms: int,
+                       amplitudes: np.ndarray | None = None,
+                       phase0: np.ndarray | None = None,
+                       noise_std: float = 0.0, seed: int = 0) -> np.ndarray:
+    """Geometry-consistent IF capture with per-ms time-varying delays.
+
+    ``delays_s``: (S, >= n_ms+1) light times (s) at each ms boundary;
+    ``bit_streams``: (S, n_bits) +/-1 transmitted nav bits, bit 0 starting
+    at transmit time 0; ``t_rx0_minus_bits0``: receiver capture start minus
+    bit-stream start, in GPS seconds.  Used by the golden-scenario builder
+    (softgnss_tpu.scenario) for closed-loop navigation tests.
+    """
+    if config.sampling_freq % 1000:
+        raise ValueError("synthesizer requires sampling_freq divisible by 1000")
+    s = len(prns)
+    delays_s = np.asarray(delays_s, np.float64)
+    if delays_s.shape[0] != s or delays_s.shape[1] < n_ms + 1:
+        raise ValueError(f"delays_s must be (n_sats, >= n_ms+1), got {delays_s.shape}")
+    bit_streams = np.asarray(bit_streams, np.float32)
+    if not np.all(np.abs(bit_streams) == 1):
+        raise ValueError("bit_streams must be +/-1")
+    sat_dynamic = {
+        "bits": jnp.asarray(bit_streams),
+        "amp": jnp.asarray(amplitudes if amplitudes is not None else np.ones(s), jnp.float32),
+        "phi0": jnp.asarray(phase0 if phase0 is not None else np.zeros(s), jnp.float64),
+        "delays": jnp.asarray(delays_s[:, :n_ms + 1]),
+        "t_offset": jnp.float64(t_rx0_minus_bits0),
+    }
+    out = _synth_dynamic_chunks(config, tuple(int(p) for p in prns), int(n_ms),
+                                sat_dynamic, jax.random.PRNGKey(seed), float(noise_std))
+    return np.asarray(jax.device_get(out))
+
+
 def default_scenario(config: ReceiverConfig, num_sats: int = 4, noise_std: float = 2.0,
                      seed: int = 7) -> tuple[list[SatelliteSignal], np.ndarray]:
     """A reproducible multi-satellite scenario + its IF capture (for tests/bench)."""

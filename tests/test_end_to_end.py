@@ -1,0 +1,87 @@
+"""Full closed-loop end-to-end: golden scenario RF samples -> position fix.
+
+Synthesizes a geometry-consistent 38-second int8 IF capture from circular
+satellite orbits and real encoded nav subframes, then runs the complete
+receiver (acquire -> track -> navigate) and checks the PVT solution
+against the injected receiver position.  This is the framework's
+"minimum end-to-end slice" milestone test (SURVEY.md §7 step 5).
+
+Position error budget at the fast config (fs = 4.096 MHz): the tracked
+``absolute_sample`` counters are integers, so each epoch's pseudoranges
+quantize at c/fs ~ 73 m per satellite, diluted by geometry — expect tens
+of meters of scatter per epoch and a small mean error.
+"""
+
+import numpy as np
+import pytest
+
+import softgnss_tpu as sg
+from softgnss_tpu.pipeline import run_receiver
+from softgnss_tpu.scenario import build_scenario, synthesize_scenario
+
+N_MS = 37000
+
+
+@pytest.fixture(scope="module")
+def e2e_results():
+    cfg = sg.fast_config(number_of_channels=5, ms_to_process=N_MS)
+    scenario = build_scenario(cfg, n_sats=5, noise_std=1.5)
+    signal = synthesize_scenario(scenario, N_MS + cfg.acquisition_ms + 2)
+    results = run_receiver(cfg, signal=signal)
+    return cfg, scenario, results
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_all_satellites_acquired(self, e2e_results):
+        cfg, scenario, results = e2e_results
+        acq = results.acquisition
+        for i, prn in enumerate(scenario.prns):
+            assert acq.acquired[prn - 1], f"PRN {prn} not acquired"
+            assert abs(acq.code_phase[prn - 1] - scenario.expected_code_phase(i)) <= 1.5
+            assert abs(acq.carr_freq[prn - 1] - scenario.expected_carrier_freq(i)) < 20.0
+
+    def test_tracking_locked(self, e2e_results):
+        cfg, scenario, results = e2e_results
+        tr = results.tracking
+        for c in range(len(tr.prn)):
+            if tr.status[c] == "-":
+                continue
+            ip = np.abs(tr.i_p[c, 2000:]).mean()
+            qp = np.abs(tr.q_p[c, 2000:]).mean()
+            assert ip / qp > 4.0, f"channel {c} not phase locked"
+
+    def test_ephemeris_decoded(self, e2e_results):
+        cfg, scenario, results = e2e_results
+        for i, prn in enumerate(scenario.prns):
+            eph = results.ephemerides[prn - 1]
+            assert eph is not None and eph.complete, f"PRN {prn} ephemeris missing"
+            truth = scenario.ephemerides[i]
+            assert eph.sqrt_a == pytest.approx(truth.sqrt_a, abs=2.0**-19)
+            assert eph.t_oe == truth.t_oe
+            assert eph.iode_sf2 == truth.iode_sf2
+
+    def test_position_fix_matches_truth(self, e2e_results):
+        cfg, scenario, results = e2e_results
+        assert results.has_fix
+        sol = results.solutions
+        assert sol.tow == scenario.tow_count * 6
+        rx = scenario.receiver_ecef
+        ok = np.isfinite(sol.x)
+        assert ok.sum() >= 0.9 * sol.n_epochs
+        err = np.sqrt((sol.x[ok] - rx[0]) ** 2 + (sol.y[ok] - rx[1]) ** 2
+                      + (sol.z[ok] - rx[2]) ** 2)
+        # sample-quantized pseudoranges (c/fs ~ 73 m) x DOP
+        assert np.median(err) < 250.0
+        assert np.mean(err) < 300.0
+        # height/lat/lon sanity vs injected 47N 8.5E 500m
+        assert np.nanmedian(np.abs(sol.latitude - 47.0)) < 0.01
+        assert np.nanmedian(np.abs(sol.longitude - 8.5)) < 0.01
+
+    def test_dop_and_elevations_reported(self, e2e_results):
+        cfg, scenario, results = e2e_results
+        sol = results.solutions
+        ok = np.isfinite(sol.x)
+        assert np.all(sol.dop[0][ok] > 0)
+        el = sol.el[np.isfinite(sol.el)]
+        assert np.all(el >= cfg.elevation_mask_deg - 1.0)

@@ -185,6 +185,14 @@ class TestPostNavigate:
         sol, _ = post_navigate(config, short)
         assert sol is None
 
+    def test_navigation_plot_renders(self, nav_case, tmp_path):
+        config, rx, ephs, track, _ = nav_case
+        sol, _ = post_navigate(config, track)
+        from softgnss_tpu.plots import plot_navigation
+        path = plot_navigation(config, sol, out_dir=str(tmp_path))
+        import os
+        assert os.path.getsize(path) > 10000
+
     def test_too_few_channels(self, nav_case):
         config, rx, ephs, track, _ = nav_case
         few = FakeTrack()
