@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark: 12-channel tracking throughput (capture samples/s).
+
+Workload per BASELINE.md ("12-channel parallel tracking"): the reference
+default front end (fs = 38.192 MHz int8, IF 9.548 MHz), 12 channels of
+DLL/PLL tracking with 1 ms integration.  The metric is capture samples
+consumed per wall-clock second by the full 12-channel tracker (each sample
+feeds 12 channels x 6 correlators).
+
+``vs_baseline`` compares against the math-equivalent float64 NumPy oracle
+(softgnss_tpu.oracle) measured in-process on the CPU — the reference
+publishes no numbers (SURVEY.md §6), so the baseline is self-measured.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    import softgnss_tpu as sg
+    from softgnss_tpu.acquire.search import Channels
+    from softgnss_tpu.oracle import oracle_track_channel
+    from softgnss_tpu.signals.synth import SatelliteSignal, synthesize_signal
+    from softgnss_tpu.track import track
+    from softgnss_tpu.track.scan import _track_device, initial_state
+    import jax.numpy as jnp
+
+    n_channels = int(os.environ.get("BENCH_CHANNELS", "12"))
+    n_ms = int(os.environ.get("BENCH_MS", "2000"))
+    oracle_ms = int(os.environ.get("BENCH_ORACLE_MS", "40"))
+
+    config = sg.default_config(number_of_channels=n_channels)
+    spc = config.samples_per_code
+    rng = np.random.default_rng(42)
+
+    prns = list(range(1, n_channels + 1))
+    sats = [SatelliteSignal(prn=p,
+                            doppler_hz=float(rng.uniform(-4000, 4000)),
+                            delay_samples=float(rng.integers(0, spc)),
+                            phase0=float(rng.uniform(0, 6.28)),
+                            nav_bits=tuple(rng.choice([-1, 1], size=64)))
+            for p in prns]
+    signal = synthesize_signal(config, sats, n_ms + 3, noise_std=1.0, seed=9)
+
+    channels = Channels(
+        prn=np.asarray(prns, np.int64),
+        acquired_freq=np.asarray([config.intermediate_freq + s.doppler_hz for s in sats]),
+        code_phase=np.asarray([int(s.delay_samples) for s in sats], np.int64),
+        status=["T"] * n_channels)
+
+    # --- device timing: warm-up/compile run, then timed runs ---------------
+    from softgnss_tpu.signals import ca
+
+    code_pads = np.stack([ca.padded_code(p) for p in prns]).astype(np.float32)
+    active = np.ones(n_channels, bool)
+    state0 = initial_state(config, channels)
+    sig_dev = jnp.asarray(signal)
+    args = (sig_dev, jnp.asarray(code_pads),
+            jnp.asarray(channels.acquired_freq, jnp.float64), jnp.asarray(active))
+
+    final, ys = _track_device(config, *args, n_ms, state0)   # compile + run
+    jax.block_until_ready(ys.i_p)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        final, ys = _track_device(config, *args, n_ms, state0)
+        jax.block_until_ready(ys.i_p)
+    elapsed = (time.perf_counter() - t0) / reps
+    samples = n_ms * spc
+    device_sps = samples / elapsed
+
+    # --- CPU oracle baseline (single channel, scaled to n_channels) --------
+    t0 = time.perf_counter()
+    oracle_track_channel(config, signal, prns[0],
+                         float(channels.acquired_freq[0]),
+                         int(channels.code_phase[0]), oracle_ms)
+    t_oracle_1ch = time.perf_counter() - t0
+    oracle_sps = (oracle_ms * spc) / (t_oracle_1ch * n_channels)
+
+    print(json.dumps({
+        "metric": f"tracking_samples_per_sec_{n_channels}ch_fs38.192MHz",
+        "value": round(device_sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(device_sps / oracle_sps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,18 +70,15 @@ def _fine_freq_fft_size(config: ReceiverConfig) -> int:
     return int(8 * 2 ** int(np.ceil(np.log2(n))))
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _acquire_device(config: ReceiverConfig, long_signal: jnp.ndarray):
+def _baseband_ffts(config: ReceiverConfig, long_signal: jnp.ndarray):
+    """Doppler-mixed FFTs of the two acquisition milliseconds, (B, N) each,
+    plus the DC-removed fine-frequency signal.  PRN-independent."""
     spc = config.samples_per_code
     fs = config.sampling_freq
-    n_bins = config.num_doppler_bins
-    prn_list = np.asarray(config.acq_satellite_list, np.int64)
-
     sig = long_signal.astype(jnp.float32)
-    sig1, sig2 = sig[:spc], sig[spc : 2 * spc]
+    sig1, sig2 = sig[:spc], sig[spc: 2 * spc]
     sig0dc = sig - jnp.mean(sig)
 
-    # --- carrier grid: (bins, spc) complex64 baseband mixers ----------------
     # reference mixes with sin/cos separately (acquisition.py:103-117);
     # sin(th) + j*cos(th) = j*exp(-j*th), and the global j drops under |.|^2.
     freqs = jnp.asarray(config.doppler_bin_freqs, jnp.float64)      # (B,)
@@ -91,42 +88,52 @@ def _acquire_device(config: ReceiverConfig, long_signal: jnp.ndarray):
 
     x1 = jnp.fft.fft(mixer * sig1[None, :])                          # (B, N)
     x2 = jnp.fft.fft(mixer * sig2[None, :])
+    return x1, x2, sig0dc
 
-    codes = jnp.asarray(ca_table(config)[prn_list - 1])              # (P, N)
-    code_fd = jnp.conj(jnp.fft.fft(codes.astype(jnp.complex64)))     # (P, N)
 
-    # --- correlation grid, chunked over PRNs --------------------------------
-    chunk = min(config.acq_prn_chunk, len(prn_list))
-    n_prn = len(prn_list)
-    pad = (-n_prn) % chunk
-    code_fd = jnp.pad(code_fd, ((0, pad), (0, 0)))
-    code_fd = code_fd.reshape(-1, chunk, spc)
+def _fine_chip_indices(config: ReceiverConfig) -> np.ndarray:
+    """Static chip-index gather for the 10-ms code wipe-off
+    (reference: acquisition.py:172-177)."""
+    fine_n = config.acq_fine_freq_ms * config.samples_per_code
+    ts = 1.0 / config.sampling_freq
+    tc = 1.0 / config.code_freq_basis
+    chip_idx = np.floor(ts * np.arange(1, fine_n + 1, dtype=np.float64) / tc)
+    return np.mod(chip_idx, 1023).astype(np.int32)
 
-    def corr_chunk(cfd):
-        r1 = jnp.abs(jnp.fft.ifft(x1[None, :, :] * cfd[:, None, :])) ** 2
-        r2 = jnp.abs(jnp.fft.ifft(x2[None, :, :] * cfd[:, None, :])) ** 2
-        # per Doppler row, keep whichever millisecond has the stronger peak
-        # (bit-transition hedge, reference: acquisition.py:129-133)
-        take1 = r1.max(-1, keepdims=True) > r2.max(-1, keepdims=True)
-        return jnp.where(take1, r1, r2)                               # (c, B, N)
 
-    results = jax.lax.map(corr_chunk, code_fd)                        # (P/c, c, B, N)
-    results = results.reshape(-1, n_bins, spc)[:n_prn]                # (P, B, N)
+def _prn_block(config: ReceiverConfig, x1, x2, sig0dc, code_fd, gold):
+    """Full acquisition math for a block of PRNs.
 
-    # --- peak / second-peak metric ------------------------------------------
-    flat = results.reshape(n_prn, -1)
+    ``code_fd``: (p, N) conjugated code FFTs; ``gold``: (p, 1023) chips.
+    Returns (fine_or_zero_carr_freq, code_phase, metric), each (p,).
+    PRN-independent inputs (x1, x2, sig0dc) are shared — this same block
+    function serves the single-chip chunked path and the mesh-sharded path
+    (softgnss_tpu.parallel.acquire).
+    """
+    spc = config.samples_per_code
+    fs = config.sampling_freq
+    p = code_fd.shape[0]
+
+    r1 = jnp.abs(jnp.fft.ifft(x1[None, :, :] * code_fd[:, None, :])) ** 2
+    r2 = jnp.abs(jnp.fft.ifft(x2[None, :, :] * code_fd[:, None, :])) ** 2
+    # per Doppler row, keep whichever millisecond has the stronger peak
+    # (bit-transition hedge, reference: acquisition.py:129-133)
+    take1 = r1.max(-1, keepdims=True) > r2.max(-1, keepdims=True)
+    results = jnp.where(take1, r1, r2)                               # (p, B, N)
+
+    # --- peak / second-peak metric (reference: acquisition.py:139-164) ------
+    flat = results.reshape(p, -1)
     peak_idx = jnp.argmax(flat, axis=1)
     bin_idx = peak_idx // spc
     code_phase = peak_idx % spc
     peak = jnp.take_along_axis(flat, peak_idx[:, None], 1)[:, 0]
 
     # exclude +/- one chip (circularly) around the peak in its Doppler row
-    # (reference: acquisition.py:145-162)
     spchip = config.samples_per_chip
     pos = jnp.arange(spc)
     dist = jnp.abs(pos[None, :] - code_phase[:, None])
     circ = jnp.minimum(dist, spc - dist)
-    row = jnp.take_along_axis(results, bin_idx[:, None, None], 1)[:, 0, :]  # (P, N)
+    row = jnp.take_along_axis(results, bin_idx[:, None, None], 1)[:, 0, :]  # (p, N)
     second = jnp.max(jnp.where(circ >= spchip, row, -jnp.inf), axis=1)
     metric = peak / second
 
@@ -134,11 +141,7 @@ def _acquire_device(config: ReceiverConfig, long_signal: jnp.ndarray):
     fine_n = config.acq_fine_freq_ms * spc
     fft_pts = _fine_freq_fft_size(config)
     uniq = int(np.ceil((fft_pts + 1) / 2))
-    ts = 1.0 / fs
-    tc = 1.0 / config.code_freq_basis
-    chip_idx = np.floor(ts * np.arange(1, fine_n + 1, dtype=np.float64) / tc)
-    chip_idx = np.mod(chip_idx, 1023).astype(np.int32)                 # static gather
-    all_codes = jnp.asarray(gold_codes()[prn_list - 1], jnp.float32)   # (P, 1023)
+    chip_idx = jnp.asarray(_fine_chip_indices(config))
 
     def fine_one(args):
         cp, code = args
@@ -149,10 +152,34 @@ def _acquire_device(config: ReceiverConfig, long_signal: jnp.ndarray):
         k = jnp.argmax(window) + 4
         return k.astype(jnp.float64) * (fs / fft_pts)
 
-    fine_freq = jax.lax.map(fine_one, (code_phase, all_codes))
+    fine_freq = jax.lax.map(fine_one, (code_phase, gold))
 
     carr_freq = jnp.where(metric > config.acq_threshold, fine_freq, 0.0)
     return carr_freq, code_phase.astype(jnp.int64), metric.astype(jnp.float64)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _acquire_device(config: ReceiverConfig, long_signal: jnp.ndarray):
+    prn_list = np.asarray(config.acq_satellite_list, np.int64)
+    x1, x2, sig0dc = _baseband_ffts(config, long_signal)
+
+    spc = config.samples_per_code
+    codes = jnp.asarray(ca_table(config)[prn_list - 1])              # (P, N)
+    code_fd = jnp.conj(jnp.fft.fft(codes.astype(jnp.complex64)))     # (P, N)
+    gold = jnp.asarray(gold_codes()[prn_list - 1], jnp.float32)      # (P, 1023)
+
+    # chunk over PRNs: the (chunk, B, N) grid bounds HBM footprint
+    chunk = min(config.acq_prn_chunk, len(prn_list))
+    n_prn = len(prn_list)
+    pad = (-n_prn) % chunk
+    code_fd = jnp.pad(code_fd, ((0, pad), (0, 0))).reshape(-1, chunk, spc)
+    gold = jnp.pad(gold, ((0, pad), (0, 0))).reshape(-1, chunk, 1023)
+
+    outs = jax.lax.map(
+        lambda args: _prn_block(config, x1, x2, sig0dc, args[0], args[1]),
+        (code_fd, gold))
+    carr_freq, code_phase, metric = (o.reshape(-1)[:n_prn] for o in outs)
+    return carr_freq, code_phase, metric
 
 
 def acquire(config: ReceiverConfig, long_signal: np.ndarray) -> AcquisitionResults:

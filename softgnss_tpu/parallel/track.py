@@ -1,0 +1,306 @@
+"""Mesh-sharded tracking: channels data-parallel, time blocks sequence-parallel.
+
+Two shardings compose over the receiver mesh (see SURVEY.md §5.7-5.8):
+
+* **Channel sharding** (exact): the vmapped channel axis of the tracking
+  scan is partitioned; the capture is replicated.  Zero communication in
+  the loop.
+
+* **Time-block sharding** (re-lock approximation): the capture is
+  partitioned into contiguous blocks along the 'time' axis.  Each shard
+  receives its neighbors' boundary samples via `lax.ppermute` halos
+  (overlap-save), starts from a loop state *propagated analytically* from
+  acquisition (code phase advanced at the Doppler-consistent chip rate),
+  and re-locks during ``config.time_shard_warmup_ms`` before its outputs
+  count.  The recurrent loop-filter carry (reference: tracking.py:116-130)
+  is the serializing dependency; warm-up re-lock converts it into
+  embarrassing parallelism at the cost of warmup_ms of redundant compute
+  per shard.  Propagated code phase is accurate to ~0.1 chip over tens of
+  seconds (acquisition fine-frequency error ~2 Hz -> code-rate error
+  ~1.3e-3 Hz), well inside the DLL pull-in range, so block-local period
+  numbering matches the sequential run exactly and stitched outputs align
+  millisecond-for-millisecond.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from softgnss_tpu.acquire.search import Channels
+from softgnss_tpu.config import ReceiverConfig
+from softgnss_tpu.signals import ca
+from softgnss_tpu.track.scan import (
+    MsOutputs,
+    TrackResults,
+    TrackState,
+    _channel_ms,
+    initial_state,
+)
+
+
+def _pad_channels(config: ReceiverConfig, channels: Channels, multiple: int) -> Channels:
+    c = len(channels)
+    pad = (-c) % multiple
+    if pad == 0:
+        return channels
+    return Channels(
+        prn=np.concatenate([channels.prn, np.zeros(pad, np.int64)]),
+        acquired_freq=np.concatenate([channels.acquired_freq, np.zeros(pad)]),
+        code_phase=np.concatenate([channels.code_phase, np.zeros(pad, np.int64)]),
+        status=list(channels.status) + ["-"] * pad,
+    )
+
+
+def _track_inputs(config: ReceiverConfig, channels: Channels):
+    code_pads = np.zeros((len(channels), 1025), np.float32)
+    for i in range(len(channels)):
+        if channels.prn[i] > 0:
+            code_pads[i] = ca.padded_code(int(channels.prn[i]))
+    active = np.asarray([s == "T" for s in channels.status])
+    carr_basis = np.asarray(channels.acquired_freq, np.float64)
+    return code_pads, carr_basis, active
+
+
+def _results_from_ys(channels: Channels, ys: MsOutputs, n_channels: int) -> TrackResults:
+    get = lambda a: np.asarray(a).T[:n_channels]
+    return TrackResults(
+        prn=np.asarray(channels.prn)[:n_channels],
+        status=list(channels.status)[:n_channels],
+        absolute_sample=get(ys.absolute_sample),
+        code_freq=get(ys.code_freq), carr_freq=get(ys.carr_freq),
+        i_p=get(ys.i_p), i_e=get(ys.i_e), i_l=get(ys.i_l),
+        q_e=get(ys.q_e), q_p=get(ys.q_p), q_l=get(ys.q_l),
+        dll_discr=get(ys.dll_discr), dll_discr_filt=get(ys.dll_discr_filt),
+        pll_discr=get(ys.pll_discr), pll_discr_filt=get(ys.pll_discr_filt),
+    )
+
+
+# --------------------------------------------------------------------------
+# channel sharding (exact)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _track_channels_sharded(config: ReceiverConfig, mesh: Mesh, n_ms: int,
+                            signal, code_pads, carr_basis, active, state0):
+    ch_axis = config.channel_axis
+
+    def shard_fn(signal_r, code_pads_l, carr_basis_l, active_l, state_l):
+        step_fn = jax.vmap(
+            lambda cp, cb, act, st: _channel_ms(config, signal_r, cp, cb, act, st),
+            in_axes=(0, 0, 0, 0))
+
+        def step(state, _):
+            return step_fn(code_pads_l, carr_basis_l, active_l, state)
+
+        _, ys = jax.lax.scan(step, state_l, None, length=n_ms)
+        return ys
+
+    shard = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(ch_axis, None), P(ch_axis), P(ch_axis),
+                  jax.tree.map(lambda _: P(ch_axis), state0,
+                               is_leaf=lambda x: x is not state0)),
+        out_specs=jax.tree.map(lambda _: P(None, ch_axis), MsOutputs(*[0] * 13),
+                               is_leaf=lambda x: not isinstance(x, MsOutputs)),
+    )
+    return shard(signal, code_pads, carr_basis, active, state0)
+
+
+def track_channels_sharded(config: ReceiverConfig, signal: np.ndarray,
+                           channels: Channels, mesh: Mesh,
+                           n_ms: int | None = None) -> TrackResults:
+    """Channel-sharded tracking over ``mesh``; numerically identical to the
+    single-device :func:`softgnss_tpu.track.track` (same per-channel math,
+    integer-NCO recurrence is device-count invariant)."""
+    n_ms = int(config.ms_to_process if n_ms is None else n_ms)
+    n_shards = mesh.shape[config.channel_axis]
+    n_channels = len(channels)
+    padded = _pad_channels(config, channels, n_shards)
+    code_pads, carr_basis, active = _track_inputs(config, padded)
+    state0 = initial_state(config, padded)
+    ys = _track_channels_sharded(
+        config, mesh, n_ms, jnp.asarray(signal), jnp.asarray(code_pads),
+        jnp.asarray(carr_basis), jnp.asarray(active), state0)
+    ys = jax.device_get(ys)
+    return _results_from_ys(padded, ys, n_channels)
+
+
+# --------------------------------------------------------------------------
+# time-block sharding (halo exchange + warm-up re-lock)
+# --------------------------------------------------------------------------
+
+def propagate_state(config: ReceiverConfig, channels: Channels,
+                    start_ms: int) -> TrackState:
+    """Loop state estimate at tracked millisecond ``start_ms``.
+
+    Code phase is advanced analytically at the Doppler-consistent chip
+    rate; loop-filter accumulators seed the DLL at that rate.  Host-side
+    (NumPy f64) — exact integer sample estimates.
+    """
+    if start_ms == 0:
+        return initial_state(config, channels)
+    c = len(channels)
+    active = np.asarray([s == "T" for s in channels.status])
+    acq = np.asarray(channels.acquired_freq, np.float64)
+    fc = config.code_freq_basis
+    fc_eff = np.where(active, fc * (1.0 + (acq - config.intermediate_freq) / config.l1_freq), fc)
+    spp = config.sampling_freq / (fc_eff / config.code_length)   # samples/period
+    target = float(start_ms) * config.samples_per_code
+    phase0 = np.asarray(channels.code_phase, np.float64)
+    n_per = np.ceil((target - phase0) / spp)
+    ptr = config.skip_samples + np.rint(phase0 + n_per * spp).astype(np.int64)
+    return TrackState(
+        ptr=jnp.asarray(ptr, jnp.int64),
+        carr_phase=jnp.zeros(c, jnp.int32),
+        code_rem_q=jnp.zeros(c, jnp.int64),
+        carr_freq=jnp.asarray(acq, jnp.float64),
+        code_freq=jnp.asarray(fc_eff, jnp.float64),
+        carr_nco=jnp.zeros(c, jnp.float64),
+        carr_err=jnp.zeros(c, jnp.float64),
+        code_nco=jnp.asarray(fc - fc_eff, jnp.float64),
+        code_err=jnp.zeros(c, jnp.float64),
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _track_time_sharded(config: ReceiverConfig, mesh: Mesh, block_ms: int,
+                        warmup_ms: int, signal_blocks, tail, code_pads,
+                        carr_basis, active, states0):
+    """signal_blocks: (n_t * L,) int8 sharded over 'time'; tail: (2 spc,)
+    replicated; states0 leaves: (n_t, C)."""
+    t_axis, ch_axis = config.time_axis, config.channel_axis
+    spc = config.samples_per_code
+    n_t = mesh.shape[t_axis]
+    block_len = block_ms * spc
+    halo_prev = (warmup_ms + 1) * spc
+    halo_next = 2 * spc
+    total_steps = warmup_ms + block_ms
+
+    def shard_fn(sig_l, tail_r, code_pads_l, carr_basis_l, active_l, state_l):
+        b = jax.lax.axis_index(t_axis)
+        sig_l = sig_l.reshape(-1)                       # (L,)
+        # overlap-save halos over the time ring: my tail -> next shard,
+        # my head -> previous shard
+        prev_tail = jax.lax.ppermute(sig_l[-halo_prev:], t_axis,
+                                     [(i, (i + 1) % n_t) for i in range(n_t)])
+        next_head = jax.lax.ppermute(sig_l[:halo_next], t_axis,
+                                     [(i, (i - 1) % n_t) for i in range(n_t)])
+        # the last shard's successor is the replicated global tail
+        next_head = jnp.where(b == n_t - 1, tail_r, next_head)
+        assembled = jnp.concatenate([prev_tail, sig_l, next_head])
+
+        # global sample index of assembled[0] (absolute, incl. skip)
+        base = config.skip_samples + b.astype(jnp.int64) * block_len - halo_prev
+        state_l = jax.tree.map(lambda x: x[0], state_l)   # drop unit time dim
+        state_l = state_l._replace(ptr=state_l.ptr - base)
+
+        # shard 0 has no warm-up: it idles the first warmup_ms steps and
+        # starts from the exact acquisition state
+        first_active = jnp.where(b == 0, warmup_ms, 0)
+
+        def step_one(cp, cb, act, st):
+            return _channel_ms(config, assembled, cp, cb, act, st)
+
+        step_fn = jax.vmap(step_one, in_axes=(0, 0, 0, 0))
+
+        def step(state, k):
+            act = active_l & (k >= first_active)
+            new, outs = step_fn(code_pads_l, carr_basis_l, act, state)
+            outs = outs._replace(
+                absolute_sample=jnp.where(act, outs.absolute_sample + base, 0))
+            return new, outs
+
+        _, ys = jax.lax.scan(step, state_l, jnp.arange(total_steps))
+        return jax.tree.map(lambda x: x[None], ys)        # add unit time dim
+
+    state_specs = jax.tree.map(lambda _: P(t_axis, ch_axis), states0,
+                               is_leaf=lambda x: x is not states0)
+    shard = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(t_axis), P(), P(ch_axis, None), P(ch_axis), P(ch_axis),
+                  state_specs),
+        out_specs=jax.tree.map(lambda _: P(t_axis, None, ch_axis),
+                               MsOutputs(*[0] * 13),
+                               is_leaf=lambda x: not isinstance(x, MsOutputs)),
+    )
+    return shard(signal_blocks, tail, code_pads, carr_basis, active, states0)
+
+
+def track_time_sharded(config: ReceiverConfig, signal: np.ndarray,
+                       channels: Channels, mesh: Mesh,
+                       n_ms: int | None = None) -> TrackResults:
+    """Time-block + channel sharded tracking.
+
+    ``n_ms`` must divide evenly into ``mesh`` 'time'-axis blocks.  Outputs
+    are stitched from each shard's post-warm-up region; the first
+    ``time_shard_warmup_ms`` after each interior block boundary are
+    re-locked (not carried), so loop-filter transients there may differ
+    slightly from a sequential run while correlators and nav bits agree.
+    """
+    n_ms = int(config.ms_to_process if n_ms is None else n_ms)
+    n_t = mesh.shape[config.time_axis]
+    n_ch_shards = mesh.shape[config.channel_axis]
+    if n_ms % n_t:
+        raise ValueError(f"n_ms={n_ms} not divisible by time shards={n_t}")
+    block_ms = n_ms // n_t
+    warmup = min(config.time_shard_warmup_ms, block_ms)
+    spc = config.samples_per_code
+    skip = config.skip_samples
+    needed = skip + (n_ms + 2) * spc
+    if signal.shape[0] < needed:
+        raise ValueError(f"capture too short: need >= {needed} samples, got {signal.shape[0]}")
+
+    n_channels = len(channels)
+    padded = _pad_channels(config, channels, n_ch_shards)
+    code_pads, carr_basis, active = _track_inputs(config, padded)
+
+    # per-shard initial states at ms (b*block - warmup), b=0 exact
+    states = [propagate_state(config, padded, max(0, b * block_ms - warmup))
+              for b in range(n_t)]
+    states0 = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    body = np.ascontiguousarray(signal[skip: skip + n_ms * spc])
+    tail = np.ascontiguousarray(signal[skip + n_ms * spc: skip + (n_ms + 2) * spc])
+
+    ys = _track_time_sharded(
+        config, mesh, block_ms, warmup, jnp.asarray(body), jnp.asarray(tail),
+        jnp.asarray(code_pads), jnp.asarray(carr_basis), jnp.asarray(active),
+        states0)
+    ys = MsOutputs(*[np.asarray(leaf) for leaf in jax.device_get(ys)])
+
+    # --- polarity reconciliation ------------------------------------------
+    # A freshly re-locked Costas/atan PLL settles with a 50% 180-degree
+    # phase ambiguity: shard b's correlators may be sign-flipped relative
+    # to shard b-1.  Shard b's warm-up steps [0, warmup) re-track the SAME
+    # milliseconds as shard b-1's final steps [block, block+warmup), so the
+    # overlap votes the relative polarity; flips accumulate across shards.
+    # atan discriminators and envelopes are (I,Q) -> (-I,-Q) invariant, so
+    # flipping the six correlator streams restores a continuous nav-bit
+    # polarity exactly.
+    flips = np.ones((n_t, len(padded)))
+    half = max(1, warmup // 2)
+    for b in range(1, n_t):
+        prev = ys.i_p[b - 1, block_ms + warmup - half: block_ms + warmup]
+        cur = ys.i_p[b, warmup - half: warmup]
+        dot = np.sum(np.sign(prev) * np.sign(cur), axis=0)   # (C,)
+        flips[b] = flips[b - 1] * np.where(dot < 0, -1.0, 1.0)
+
+    # stitch: shard 0 contributes steps [warmup : warmup+block) == ms [0, block)
+    # (it idled its first warmup steps); shard b>0 contributes the same
+    # step range == ms [b*block, (b+1)*block)
+    def stitch(a, signed):                             # (n_t, steps, C)
+        parts = []
+        for b in range(n_t):
+            block = a[b, warmup:warmup + block_ms]
+            parts.append(block * flips[b][None, :].astype(a.dtype) if signed else block)
+        return np.concatenate(parts)
+
+    signed_fields = {"i_p", "q_p", "i_e", "q_e", "i_l", "q_l"}
+    ys = MsOutputs(*[stitch(leaf, name in signed_fields)
+                     for name, leaf in zip(MsOutputs._fields, ys)])
+    return _results_from_ys(padded, ys, n_channels)
