@@ -49,7 +49,17 @@ def main() -> None:
                             phase0=float(rng.uniform(0, 6.28)),
                             nav_bits=tuple(rng.choice([-1, 1], size=64)))
             for p in prns]
-    signal = synthesize_signal(config, sats, n_ms + 3, noise_std=1.0, seed=9)
+    # synthesize on the host CPU backend: the generator is gather-bound and
+    # not the benchmarked path
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            signal = synthesize_signal(config, sats, n_ms + 3, noise_std=1.0, seed=9)
+    else:
+        signal = synthesize_signal(config, sats, n_ms + 3, noise_std=1.0, seed=9)
 
     channels = Channels(
         prn=np.asarray(prns, np.int64),
@@ -58,13 +68,13 @@ def main() -> None:
         status=["T"] * n_channels)
 
     # --- device timing: warm-up/compile run, then timed runs ---------------
-    from softgnss_tpu.signals import ca
+    from softgnss_tpu.track.tables import build_tables
 
-    code_pads = np.stack([ca.padded_code(p) for p in prns]).astype(np.float32)
+    tables = build_tables(config, np.asarray(prns), np.asarray(channels.acquired_freq))
     active = np.ones(n_channels, bool)
     state0 = initial_state(config, channels)
     sig_dev = jnp.asarray(signal)
-    args = (sig_dev, jnp.asarray(code_pads),
+    args = (sig_dev, jax.tree.map(jnp.asarray, tables),
             jnp.asarray(channels.acquired_freq, jnp.float64), jnp.asarray(active))
 
     final, ys = _track_device(config, *args, n_ms, state0)   # compile + run

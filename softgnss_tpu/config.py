@@ -114,10 +114,15 @@ class ReceiverConfig:
     #: tensor is materialized per chunk to bound HBM footprint
     acq_prn_chunk: int = 8
     #: extra samples beyond samples_per_code in the fixed tracking window
-    #: (covers code-NCO block-size wander of +/- a few samples)
+    #: (covers code-NCO block-size wander of +/- a few samples); the window
+    #: is then rounded up to a multiple of track_tile
     track_window_extra: int = 8
-    #: use the fused Pallas correlator kernel where available
-    use_pallas_correlator: bool = False
+    #: sample-tile size of the gather-free one-hot correlator
+    track_tile: int = 128
+    #: correlator strategy: 'onehot' (gather-free tiled contraction — the
+    #: TPU-fast path, see softgnss_tpu.track.tables) or 'gather' (direct
+    #: per-sample table lookup, the reference formulation)
+    correlator_impl: str = "onehot"
     #: mesh axis names for sharded runs
     time_axis: str = "time"
     channel_axis: str = "channel"
@@ -149,8 +154,10 @@ class ReceiverConfig:
 
     @property
     def track_window(self) -> int:
-        """Fixed per-ms sample window for tracking (static shape for XLA)."""
-        return self.samples_per_code + self.track_window_extra
+        """Fixed per-ms sample window for tracking (static shape for XLA),
+        rounded up to a whole number of track_tile-sample tiles."""
+        w = self.samples_per_code + self.track_window_extra
+        return (w + self.track_tile - 1) // self.track_tile * self.track_tile
 
     @property
     def acquisition_ms(self) -> int:

@@ -33,7 +33,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from softgnss_tpu.acquire.search import Channels
 from softgnss_tpu.config import ReceiverConfig
-from softgnss_tpu.signals import ca
 from softgnss_tpu.track.scan import (
     MsOutputs,
     TrackResults,
@@ -41,6 +40,7 @@ from softgnss_tpu.track.scan import (
     _channel_ms,
     initial_state,
 )
+from softgnss_tpu.track.tables import CorrelatorTables, build_tables
 
 
 def _pad_channels(config: ReceiverConfig, channels: Channels, multiple: int) -> Channels:
@@ -57,13 +57,11 @@ def _pad_channels(config: ReceiverConfig, channels: Channels, multiple: int) -> 
 
 
 def _track_inputs(config: ReceiverConfig, channels: Channels):
-    code_pads = np.zeros((len(channels), 1025), np.float32)
-    for i in range(len(channels)):
-        if channels.prn[i] > 0:
-            code_pads[i] = ca.padded_code(int(channels.prn[i]))
+    tables = build_tables(config, np.asarray(channels.prn),
+                          np.asarray(channels.acquired_freq))
     active = np.asarray([s == "T" for s in channels.status])
     carr_basis = np.asarray(channels.acquired_freq, np.float64)
-    return code_pads, carr_basis, active
+    return tables, carr_basis, active
 
 
 def _results_from_ys(channels: Channels, ys: MsOutputs, n_channels: int) -> TrackResults:
@@ -84,31 +82,36 @@ def _results_from_ys(channels: Channels, ys: MsOutputs, n_channels: int) -> Trac
 # channel sharding (exact)
 # --------------------------------------------------------------------------
 
+def _table_specs(tables: CorrelatorTables, axis: str):
+    return CorrelatorTables(*[P(axis, *([None] * (np.ndim(leaf) - 1)))
+                              for leaf in tables])
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _track_channels_sharded(config: ReceiverConfig, mesh: Mesh, n_ms: int,
-                            signal, code_pads, carr_basis, active, state0):
+                            signal, tables, carr_basis, active, state0):
     ch_axis = config.channel_axis
 
-    def shard_fn(signal_r, code_pads_l, carr_basis_l, active_l, state_l):
+    def shard_fn(signal_r, tables_l, carr_basis_l, active_l, state_l):
         step_fn = jax.vmap(
-            lambda cp, cb, act, st: _channel_ms(config, signal_r, cp, cb, act, st),
+            lambda tab, cb, act, st: _channel_ms(config, signal_r, tab, cb, act, st),
             in_axes=(0, 0, 0, 0))
 
         def step(state, _):
-            return step_fn(code_pads_l, carr_basis_l, active_l, state)
+            return step_fn(tables_l, carr_basis_l, active_l, state)
 
         _, ys = jax.lax.scan(step, state_l, None, length=n_ms)
         return ys
 
     shard = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(ch_axis, None), P(ch_axis), P(ch_axis),
+        in_specs=(P(), _table_specs(tables, ch_axis), P(ch_axis), P(ch_axis),
                   jax.tree.map(lambda _: P(ch_axis), state0,
                                is_leaf=lambda x: x is not state0)),
         out_specs=jax.tree.map(lambda _: P(None, ch_axis), MsOutputs(*[0] * 13),
                                is_leaf=lambda x: not isinstance(x, MsOutputs)),
     )
-    return shard(signal, code_pads, carr_basis, active, state0)
+    return shard(signal, tables, carr_basis, active, state0)
 
 
 def track_channels_sharded(config: ReceiverConfig, signal: np.ndarray,
@@ -121,10 +124,10 @@ def track_channels_sharded(config: ReceiverConfig, signal: np.ndarray,
     n_shards = mesh.shape[config.channel_axis]
     n_channels = len(channels)
     padded = _pad_channels(config, channels, n_shards)
-    code_pads, carr_basis, active = _track_inputs(config, padded)
+    tables, carr_basis, active = _track_inputs(config, padded)
     state0 = initial_state(config, padded)
     ys = _track_channels_sharded(
-        config, mesh, n_ms, jnp.asarray(signal), jnp.asarray(code_pads),
+        config, mesh, n_ms, jnp.asarray(signal), jax.tree.map(jnp.asarray, tables),
         jnp.asarray(carr_basis), jnp.asarray(active), state0)
     ys = jax.device_get(ys)
     return _results_from_ys(padded, ys, n_channels)
@@ -169,7 +172,7 @@ def propagate_state(config: ReceiverConfig, channels: Channels,
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _track_time_sharded(config: ReceiverConfig, mesh: Mesh, block_ms: int,
-                        warmup_ms: int, signal_blocks, tail, code_pads,
+                        warmup_ms: int, signal_blocks, tail, tables,
                         carr_basis, active, states0):
     """signal_blocks: (n_t * L,) int8 sharded over 'time'; tail: (2 spc,)
     replicated; states0 leaves: (n_t, C)."""
@@ -181,7 +184,7 @@ def _track_time_sharded(config: ReceiverConfig, mesh: Mesh, block_ms: int,
     halo_next = 2 * spc
     total_steps = warmup_ms + block_ms
 
-    def shard_fn(sig_l, tail_r, code_pads_l, carr_basis_l, active_l, state_l):
+    def shard_fn(sig_l, tail_r, tables_l, carr_basis_l, active_l, state_l):
         b = jax.lax.axis_index(t_axis)
         sig_l = sig_l.reshape(-1)                       # (L,)
         # overlap-save halos over the time ring: my tail -> next shard,
@@ -203,14 +206,14 @@ def _track_time_sharded(config: ReceiverConfig, mesh: Mesh, block_ms: int,
         # starts from the exact acquisition state
         first_active = jnp.where(b == 0, warmup_ms, 0)
 
-        def step_one(cp, cb, act, st):
-            return _channel_ms(config, assembled, cp, cb, act, st)
+        def step_one(tab, cb, act, st):
+            return _channel_ms(config, assembled, tab, cb, act, st)
 
         step_fn = jax.vmap(step_one, in_axes=(0, 0, 0, 0))
 
         def step(state, k):
             act = active_l & (k >= first_active)
-            new, outs = step_fn(code_pads_l, carr_basis_l, act, state)
+            new, outs = step_fn(tables_l, carr_basis_l, act, state)
             outs = outs._replace(
                 absolute_sample=jnp.where(act, outs.absolute_sample + base, 0))
             return new, outs
@@ -222,13 +225,13 @@ def _track_time_sharded(config: ReceiverConfig, mesh: Mesh, block_ms: int,
                                is_leaf=lambda x: x is not states0)
     shard = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(t_axis), P(), P(ch_axis, None), P(ch_axis), P(ch_axis),
-                  state_specs),
+        in_specs=(P(t_axis), P(), _table_specs(tables, ch_axis), P(ch_axis),
+                  P(ch_axis), state_specs),
         out_specs=jax.tree.map(lambda _: P(t_axis, None, ch_axis),
                                MsOutputs(*[0] * 13),
                                is_leaf=lambda x: not isinstance(x, MsOutputs)),
     )
-    return shard(signal_blocks, tail, code_pads, carr_basis, active, states0)
+    return shard(signal_blocks, tail, tables, carr_basis, active, states0)
 
 
 def track_time_sharded(config: ReceiverConfig, signal: np.ndarray,
@@ -257,7 +260,7 @@ def track_time_sharded(config: ReceiverConfig, signal: np.ndarray,
 
     n_channels = len(channels)
     padded = _pad_channels(config, channels, n_ch_shards)
-    code_pads, carr_basis, active = _track_inputs(config, padded)
+    tables, carr_basis, active = _track_inputs(config, padded)
 
     # per-shard initial states at ms (b*block - warmup), b=0 exact
     states = [propagate_state(config, padded, max(0, b * block_ms - warmup))
@@ -269,8 +272,8 @@ def track_time_sharded(config: ReceiverConfig, signal: np.ndarray,
 
     ys = _track_time_sharded(
         config, mesh, block_ms, warmup, jnp.asarray(body), jnp.asarray(tail),
-        jnp.asarray(code_pads), jnp.asarray(carr_basis), jnp.asarray(active),
-        states0)
+        jax.tree.map(jnp.asarray, tables), jnp.asarray(carr_basis),
+        jnp.asarray(active), states0)
     ys = MsOutputs(*[np.asarray(leaf) for leaf in jax.device_get(ys)])
 
     # --- polarity reconciliation ------------------------------------------

@@ -39,8 +39,8 @@ import numpy as np
 
 from softgnss_tpu.acquire.search import Channels
 from softgnss_tpu.config import ReceiverConfig
-from softgnss_tpu.signals import ca
 from softgnss_tpu.signals.nco import (
+    CODE_FRAC_BITS,
     CODE_ONE,
     carrier_angles,
     carrier_step_u32,
@@ -48,6 +48,7 @@ from softgnss_tpu.signals.nco import (
     chips_to_q,
     code_step_q,
 )
+from softgnss_tpu.track.tables import CorrelatorTables, build_tables, onehot_width
 
 
 class TrackState(NamedTuple):
@@ -124,13 +125,59 @@ def initial_state(config: ReceiverConfig, channels: Channels) -> TrackState:
     )
 
 
-def _channel_ms(config: ReceiverConfig, signal, code_pad, carr_basis, active, st: TrackState):
+def _correlate_gather(config: ReceiverConfig, tables, tq, i_bb, q_bb):
+    """Reference-style correlators: per-sample code lookups
+    (reference: tracking.py:164-190, 209-219).  Exact, but the three
+    data-dependent gathers are pathologically slow on TPU — used as the
+    cross-check / debug path (config.correlator_impl='gather')."""
+    half_q = chips_to_q(config.dll_correlator_spacing)
+    code_pad = tables.code_pads
+    # padded-code index is the ceil'd chip phase itself: pad[i] = chip i-1,
+    # so pad[ceil(t)] = chip ceil(t)-1, the reference's convention
+    # (tracking.py:166-188).  Clip covers only the masked tail.
+    idx_p = jnp.clip(ceil_chip_index(tq), 0, 1024)
+    idx_e = jnp.clip(ceil_chip_index(tq - half_q), 0, 1024)
+    idx_l = jnp.clip(ceil_chip_index(tq + half_q), 0, 1024)
+    early, prompt, late = code_pad[idx_e], code_pad[idx_p], code_pad[idx_l]
+    return (jnp.sum(early * i_bb), jnp.sum(prompt * i_bb), jnp.sum(late * i_bb),
+            jnp.sum(early * q_bb), jnp.sum(prompt * q_bb), jnp.sum(late * q_bb))
+
+
+def _correlate_onehot(config: ReceiverConfig, tables, tq, i_bb, q_bb):
+    """Gather-free correlators: tile-local half-chip one-hot contraction.
+
+    Same sums as the gather formulation (see softgnss_tpu.track.tables):
+    the half-chip index h = ceil(2*tq) selects E/P/L code values through
+    static per-tile tables, so the per-ms compute is pure elementwise ops
+    plus two small batched matmuls — the TPU fast path.
+    """
+    tile = config.track_tile
+    t_count = config.track_window // tile
+    w = onehot_width(config)
+
+    # ceil(2*tq) via the Q40 representation: (tq*2 + 1 - ulp ... integer
+    # ceil of x/2^40 with x = 2*tq_q
+    h = ((tq << 1) + (CODE_ONE - 1)) >> CODE_FRAC_BITS            # (W,) i64
+    h_local = (h.reshape(t_count, tile) - tables.h_base[:, None]).astype(jnp.int32)
+    iota_w = jnp.arange(w, dtype=jnp.int32)
+    oh = (h_local[:, :, None] == iota_w[None, None, :]).astype(jnp.float32)
+
+    bb = jnp.stack([i_bb.reshape(t_count, tile),
+                    q_bb.reshape(t_count, tile)], axis=-1)        # (T, tile, 2)
+    u = jnp.einsum("tkw,tkc->twc", oh, bb,
+                   preferred_element_type=jnp.float32)            # (T, w, 2)
+    corr = jnp.einsum("twc,twx->xc", u, tables.codes_static,
+                      preferred_element_type=jnp.float32)         # (3, 2)
+    return (corr[0, 0], corr[1, 0], corr[2, 0],
+            corr[0, 1], corr[1, 1], corr[2, 1])
+
+
+def _channel_ms(config: ReceiverConfig, signal, tables, carr_basis, active, st: TrackState):
     """One millisecond of one channel. All inputs per-channel scalars except
-    ``signal`` (shared capture) and ``code_pad`` (1025,)."""
+    ``signal`` (shared capture) and ``tables`` (per-channel static arrays)."""
     fs = config.sampling_freq
     blk_win = config.track_window
     code_len_q = config.code_length * CODE_ONE
-    half_q = chips_to_q(config.dll_correlator_spacing)
     tau1c, tau2c = config.pll_taus
     tau1d, tau2d = config.dll_taus
     pdi = config.pdi_s
@@ -144,16 +191,7 @@ def _channel_ms(config: ReceiverConfig, signal, code_pad, carr_basis, active, st
     mask = k64 < blk
     raw = jnp.where(mask, raw, 0.0)
 
-    # --- early / prompt / late code replicas (reference: tracking.py:164-190)
     tq = st.code_rem_q + step_q * k64                             # Q40 chips
-    # padded-code index is the ceil'd chip phase itself: pad[i] = chip i-1,
-    # so pad[ceil(t)] = chip ceil(t)-1, the reference's convention
-    # (tracking.py:166-188; same floor-a.e. semantics as makeCaTable,
-    # initialize.py:223).  Clip covers only the masked tail.
-    idx_p = jnp.clip(ceil_chip_index(tq), 0, 1024)
-    idx_e = jnp.clip(ceil_chip_index(tq - half_q), 0, 1024)
-    idx_l = jnp.clip(ceil_chip_index(tq + half_q), 0, 1024)
-    early, prompt, late = code_pad[idx_e], code_pad[idx_p], code_pad[idx_l]
 
     # --- carrier mix via uint32 NCO (reference: tracking.py:192-207) -------
     w = carrier_step_u32(st.carr_freq, fs)
@@ -162,12 +200,12 @@ def _channel_ms(config: ReceiverConfig, signal, code_pad, carr_basis, active, st
     q_bb = jnp.cos(ang) * raw
 
     # --- six correlators (reference: tracking.py:209-219) ------------------
-    i_e = jnp.sum(early * i_bb)
-    q_e = jnp.sum(early * q_bb)
-    i_p = jnp.sum(prompt * i_bb)
-    q_p = jnp.sum(prompt * q_bb)
-    i_l = jnp.sum(late * i_bb)
-    q_l = jnp.sum(late * q_bb)
+    if config.correlator_impl == "onehot":
+        i_e, i_p, i_l, q_e, q_p, q_l = _correlate_onehot(config, tables, tq, i_bb, q_bb)
+    elif config.correlator_impl == "gather":
+        i_e, i_p, i_l, q_e, q_p, q_l = _correlate_gather(config, tables, tq, i_bb, q_bb)
+    else:
+        raise ValueError(f"unknown correlator_impl {config.correlator_impl!r}")
 
     # --- PLL (reference: tracking.py:221-235) -------------------------------
     i_p64, q_p64 = i_p.astype(jnp.float64), q_p.astype(jnp.float64)
@@ -219,17 +257,17 @@ def _channel_ms(config: ReceiverConfig, signal, code_pad, carr_basis, active, st
 
 
 @partial(jax.jit, static_argnums=(0, 5))
-def _track_device(config: ReceiverConfig, signal, code_pads, carr_basis, active,
-                  n_ms: int, state0: TrackState):
+def _track_device(config: ReceiverConfig, signal, tables: CorrelatorTables,
+                  carr_basis, active, n_ms: int, state0: TrackState):
     """Scan over milliseconds with channels vmapped."""
 
     step_fn = jax.vmap(
-        lambda cp, cb, act, st: _channel_ms(config, signal, cp, cb, act, st),
+        lambda tab, cb, act, st: _channel_ms(config, signal, tab, cb, act, st),
         in_axes=(0, 0, 0, 0),
     )
 
     def step(state, _):
-        return step_fn(code_pads, carr_basis, active, state)
+        return step_fn(tables, carr_basis, active, state)
 
     final, ys = jax.lax.scan(step, state0, None, length=n_ms)
     return final, ys
@@ -250,17 +288,15 @@ def track(config: ReceiverConfig, signal: np.ndarray, channels: Channels,
             f"capture too short for tracking: need >= {needed} samples, got {signal.shape[0]}"
         )
 
-    code_pads = np.zeros((len(channels), 1025), np.float32)
-    for i in range(len(channels)):
-        if channels.prn[i] > 0:
-            code_pads[i] = ca.padded_code(int(channels.prn[i]))
+    tables = build_tables(config, np.asarray(channels.prn),
+                          np.asarray(channels.acquired_freq))
     active = np.asarray([s == "T" for s in channels.status])
 
     if state is None:
         state = initial_state(config, channels)
 
     _, ys = _track_device(
-        config, jnp.asarray(signal), jnp.asarray(code_pads),
+        config, jnp.asarray(signal), jax.tree.map(jnp.asarray, tables),
         jnp.asarray(channels.acquired_freq, jnp.float64), jnp.asarray(active),
         n_ms, state)
     ys = jax.device_get(ys)

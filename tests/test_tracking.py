@@ -92,6 +92,20 @@ def test_parity_vs_float64_oracle(cfg, setup):
         assert np.max(np.abs(res.code_freq[c] - ora["code_freq"])) < 0.05
 
 
+def test_onehot_matches_gather_impl(cfg, setup):
+    """The gather-free one-hot correlator computes the same sums as the
+    reference-style per-sample lookup (f32 accumulation order differs)."""
+    sats, signal, channels = setup
+    res_oh = track(cfg.with_options(correlator_impl="onehot"), signal, channels, n_ms=150)
+    res_ga = track(cfg.with_options(correlator_impl="gather"), signal, channels, n_ms=150)
+    np.testing.assert_array_equal(res_oh.absolute_sample, res_ga.absolute_sample)
+    for key in ("i_p", "q_p", "i_e", "i_l", "q_e", "q_l"):
+        a, b = getattr(res_oh, key), getattr(res_ga, key)
+        scale = np.sqrt(np.mean(b**2))
+        assert np.max(np.abs(a - b)) / scale < 1e-4, key
+    np.testing.assert_allclose(res_oh.carr_freq, res_ga.carr_freq, atol=1e-6)
+
+
 def test_inactive_channel_stays_silent(cfg, setup):
     _, signal, _ = setup
     channels = Channels(
