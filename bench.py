@@ -78,13 +78,15 @@ def main() -> None:
             jnp.asarray(channels.acquired_freq, jnp.float64), jnp.asarray(active))
 
     final, ys = _track_device(config, *args, n_ms, state0)   # compile + run
-    jax.block_until_ready(ys.i_p)
+    jax.block_until_ready(jax.tree.leaves(ys))
+    checksum = float(np.asarray(ys.i_p).sum())
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         final, ys = _track_device(config, *args, n_ms, state0)
-        jax.block_until_ready(ys.i_p)
+        jax.block_until_ready(jax.tree.leaves(ys))
     elapsed = (time.perf_counter() - t0) / reps
+    assert np.isfinite(checksum)
     samples = n_ms * spc
     device_sps = samples / elapsed
 

@@ -13,9 +13,12 @@ integer phase accumulators — the same trick real GNSS hardware NCOs use:
 
 * **Code**: chip phase in Q40 fixed point (int64).  Block sizes, ceil'd chip
   indices, and the per-ms phase remainder are computed with exact integer
-  arithmetic, so the tracking recurrence is bit-reproducible across
-  devices/shardings — a property the float64 original does not have across
-  BLAS/compiler variants.
+  arithmetic, so the tracking recurrence is bit-reproducible for a given
+  Q40 step sequence and invariant to channel/time sharding on a platform.
+  Across platforms, the f64->Q40 quantization of the loop-filter output can
+  differ by 1 ulp (TPU emulates f64), occasionally moving a block boundary
+  by one sample — the same class of divergence the float64 original has
+  across BLAS variants.
 
 Requires jax_enable_x64 (int64); enabled at package import.
 """
@@ -76,6 +79,39 @@ def ceil_chip_index(phase_q):
     arithmetic (flooring) shift.
     """
     return ((phase_q + (CODE_ONE - 1)) >> CODE_FRAC_BITS).astype(jnp.int32)
+
+
+def sin_turns(x):
+    """sin(2*pi*x) for x in turns, via a fused minimax polynomial.
+
+    jnp.sin/cos lower to non-fusing transcendental calls on TPU (~14 us per
+    38k-vector inside a scan step); this 5-term odd polynomial on the folded
+    quadrant fuses into the surrounding elementwise graph and is exact to
+    ~1e-7 absolute — far below the correlator noise floor.
+    """
+    x = x - jnp.floor(x + 0.5)                        # [-0.5, 0.5)
+    # fold |x| > 0.25 back onto the first quadrant: sin(pi - t) = sin(t)
+    x = jnp.where(x > 0.25, 0.5 - x, x)
+    x = jnp.where(x < -0.25, -0.5 - x, x)
+    t2 = x * x
+    # minimax coefficients for sin(2 pi x) on |x| <= 0.25
+    return x * (6.2831853071795860
+                + t2 * (-41.341702240399755
+                        + t2 * (81.60524927607504
+                                + t2 * (-76.70585975306136
+                                        + t2 * 42.05869394489765))))
+
+
+def carrier_sin_cos(phase0_i32, step_i32, k_i32):
+    """(sin, cos) of the carrier NCO phase at sample offsets ``k``.
+
+    Same phase semantics as :func:`carrier_angles` but in turns with the
+    polynomial sine — fully fusing on TPU.
+    """
+    counts = phase0_i32 + step_i32 * k_i32
+    u = counts.astype(jnp.uint32)
+    turns = u.astype(jnp.float32) * jnp.float32(1.0 / _TWO32)
+    return sin_turns(turns), sin_turns(turns + 0.25)
 
 
 def carrier_step_u32(freq_hz, sampling_freq: float):

@@ -42,7 +42,7 @@ from softgnss_tpu.config import ReceiverConfig
 from softgnss_tpu.signals.nco import (
     CODE_FRAC_BITS,
     CODE_ONE,
-    carrier_angles,
+    carrier_sin_cos,
     carrier_step_u32,
     ceil_chip_index,
     chips_to_q,
@@ -195,9 +195,9 @@ def _channel_ms(config: ReceiverConfig, signal, tables, carr_basis, active, st: 
 
     # --- carrier mix via uint32 NCO (reference: tracking.py:192-207) -------
     w = carrier_step_u32(st.carr_freq, fs)
-    ang = carrier_angles(st.carr_phase, w, jnp.arange(blk_win, dtype=jnp.int32))
-    i_bb = jnp.sin(ang) * raw
-    q_bb = jnp.cos(ang) * raw
+    sin_v, cos_v = carrier_sin_cos(st.carr_phase, w, jnp.arange(blk_win, dtype=jnp.int32))
+    i_bb = sin_v * raw
+    q_bb = cos_v * raw
 
     # --- six correlators (reference: tracking.py:209-219) ------------------
     if config.correlator_impl == "onehot":
