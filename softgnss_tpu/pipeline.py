@@ -87,20 +87,36 @@ class ReceiverResults:
 
 
 def save_tracking(path: str, tracking: TrackResults) -> None:
-    """Checkpoint tracking output to .npz (resume navigation without
-    re-tracking — the capability behind the reference's .npy cache)."""
+    """Checkpoint tracking output to .npz.
+
+    Covers both the reference's results cache (resume navigation without
+    re-tracking, initialize.py:504-507) and true mid-capture resume: the
+    final loop state is stored, so ``track(..., state=loaded.final_state)``
+    continues the capture exactly (integer-NCO determinism).
+    """
+    state = {}
+    if tracking.final_state is not None:
+        state = {f"state_{k}": np.asarray(v)
+                 for k, v in tracking.final_state._asdict().items()}
     np.savez_compressed(
         path, prn=tracking.prn, status=np.asarray(tracking.status),
         **{k: getattr(tracking, k) for k in (
             "absolute_sample", "code_freq", "carr_freq", "i_p", "i_e", "i_l",
             "q_e", "q_p", "q_l", "dll_discr", "dll_discr_filt", "pll_discr",
-            "pll_discr_filt")})
+            "pll_discr_filt")},
+        **state)
 
 
 def load_tracking(path: str) -> TrackResults:
+    from softgnss_tpu.track.scan import TrackState
+
     data = np.load(path, allow_pickle=False)
+    state = None
+    if "state_ptr" in data:
+        state = TrackState(**{k: data[f"state_{k}"] for k in TrackState._fields})
     return TrackResults(
         prn=data["prn"], status=[str(s) for s in data["status"]],
+        final_state=state,
         **{k: data[k] for k in (
             "absolute_sample", "code_freq", "carr_freq", "i_p", "i_e", "i_l",
             "q_e", "q_p", "q_l", "dll_discr", "dll_discr_filt", "pll_discr",

@@ -1,0 +1,109 @@
+"""Tracing / profiling / metrics subsystem.
+
+The reference's only observability is a wall-clock print around tracking
+and a 50-ms progress ticker (initialize.py:499-509, tracking.py:137-143).
+Here, first-class:
+
+* :class:`StageTimer` — hierarchical wall-clock stage timing (the numbers
+  behind ReceiverResults.timings_s),
+* :func:`trace` — context manager wiring ``jax.profiler`` TraceAnnotations
+  so receiver stages show up named in TensorBoard/XProf device traces,
+* :func:`profile_to` — capture a full device trace of a code region,
+* :func:`lock_metrics` — the per-ms tracking observables reduced to a
+  lock-quality metrics stream (C/N0 estimate, phase-lock indicator, code
+  rate offset) — the framework's equivalent of the reference's
+  validation-by-plots (SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class StageTimer:
+    """Accumulates named stage wall times; nests via dotted names."""
+
+    timings_s: dict = field(default_factory=dict)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        import jax
+
+        with jax.profiler.TraceAnnotation(f"softgnss/{name}"):
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.timings_s[name] = (self.timings_s.get(name, 0.0)
+                                        + time.perf_counter() - t0)
+
+    def report(self) -> str:
+        width = max((len(k) for k in self.timings_s), default=0)
+        return "\n".join(f"{k:{width}s} {v:8.3f} s"
+                         for k, v in self.timings_s.items())
+
+
+@contextlib.contextmanager
+def trace(name: str):
+    """Annotate a region so it appears named in device traces."""
+    import jax
+
+    with jax.profiler.TraceAnnotation(f"softgnss/{name}"):
+        yield
+
+
+@contextlib.contextmanager
+def profile_to(log_dir: str):
+    """Capture a jax.profiler device trace of the enclosed region."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def lock_metrics(config, tracking, window_ms: int = 1000) -> dict:
+    """Per-channel lock-quality metrics from tracking output.
+
+    Returns arrays of shape (C, n_windows):
+      - ``cn0_dbhz``: narrowband/wideband C/N0 estimate,
+      - ``pll_lock``: NBD/NBP phase-lock indicator in [-1, 1] (~1 locked),
+      - ``code_rate_offset_hz``: mean code-frequency offset from nominal.
+    """
+    i_p = np.asarray(tracking.i_p)
+    q_p = np.asarray(tracking.q_p)
+    c, n_ms = i_p.shape
+    n_win = n_ms // window_ms
+    if n_win == 0:
+        raise ValueError(f"need >= {window_ms} ms of tracking, got {n_ms}")
+    ip = i_p[:, : n_win * window_ms].reshape(c, n_win, window_ms)
+    qp = q_p[:, : n_win * window_ms].reshape(c, n_win, window_ms)
+
+    # 20-ms coherent sums (one nav bit) inside each window
+    m = window_ms // 20
+    ip20 = ip[:, :, : m * 20].reshape(c, n_win, m, 20)
+    qp20 = qp[:, :, : m * 20].reshape(c, n_win, m, 20)
+    nbp = ip20.sum(-1) ** 2 + qp20.sum(-1) ** 2            # narrowband power
+    wbp = (ip20**2 + qp20**2).sum(-1)                       # wideband power
+    np_ratio = nbp / np.maximum(wbp, 1e-30)
+    mu = np_ratio.mean(-1)                                  # (C, n_win)
+    # Van Dierendonck C/N0 estimator, T = 1 ms, M = 20
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cn0 = 10.0 * np.log10(np.maximum((mu - 1.0) / (20.0 - mu), 1e-12) * 1000.0)
+
+    # phase-lock detector: (NBD)/(NBP) over 20-ms sums
+    nbd = ip20.sum(-1) ** 2 - qp20.sum(-1) ** 2
+    pll_lock = (nbd / np.maximum(nbp, 1e-30)).mean(-1)
+
+    code_freq = np.asarray(tracking.code_freq)[:, : n_win * window_ms]
+    code_off = code_freq.reshape(c, n_win, window_ms).mean(-1)
+
+    return {"cn0_dbhz": cn0, "pll_lock": pll_lock,
+            "code_rate_offset_hz": code_off - config.code_freq_basis}

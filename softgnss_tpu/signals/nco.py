@@ -87,7 +87,7 @@ def sin_turns(x):
     jnp.sin/cos lower to non-fusing transcendental calls on TPU (~14 us per
     38k-vector inside a scan step); this 5-term odd polynomial on the folded
     quadrant fuses into the surrounding elementwise graph and is exact to
-    ~1e-7 absolute — far below the correlator noise floor.
+    ~4e-6 absolute in f32 — far below the correlator noise floor.
     """
     x = x - jnp.floor(x + 0.5)                        # [-0.5, 0.5)
     # fold |x| > 0.25 back onto the first quadrant: sin(pi - t) = sin(t)

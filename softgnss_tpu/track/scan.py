@@ -102,6 +102,9 @@ class TrackResults:
     dll_discr_filt: np.ndarray
     pll_discr: np.ndarray
     pll_discr_filt: np.ndarray
+    #: loop state after the last tracked millisecond; pass as ``state=`` to
+    #: :func:`track` to resume the capture exactly where this run stopped
+    final_state: "TrackState | None" = None
 
     @property
     def n_ms(self) -> int:
@@ -295,13 +298,14 @@ def track(config: ReceiverConfig, signal: np.ndarray, channels: Channels,
     if state is None:
         state = initial_state(config, channels)
 
-    _, ys = _track_device(
+    final, ys = _track_device(
         config, jnp.asarray(signal), jax.tree.map(jnp.asarray, tables),
         jnp.asarray(channels.acquired_freq, jnp.float64), jnp.asarray(active),
         n_ms, state)
     ys = jax.device_get(ys)
 
     return TrackResults(
+        final_state=jax.tree.map(np.asarray, jax.device_get(final)),
         prn=np.asarray(channels.prn),
         status=list(channels.status),
         absolute_sample=np.asarray(ys.absolute_sample).T,
