@@ -80,10 +80,14 @@ def main() -> None:
     final, ys = _track_device(config, *args, n_ms, state0)   # compile + run
     jax.block_until_ready(jax.tree.leaves(ys))
     checksum = float(np.asarray(ys.i_p).sum())
-    t0 = time.perf_counter()
+    # vary an input per repetition: the runtime may serve repeated identical
+    # launches from a cache, which would fake multi-Gsps numbers
     reps = 3
-    for _ in range(reps):
-        final, ys = _track_device(config, *args, n_ms, state0)
+    states = [state0._replace(carr_phase=state0.carr_phase + r + 1)
+              for r in range(reps)]
+    t0 = time.perf_counter()
+    for r in range(reps):
+        final, ys = _track_device(config, *args, n_ms, states[r])
         jax.block_until_ready(jax.tree.leaves(ys))
     elapsed = (time.perf_counter() - t0) / reps
     assert np.isfinite(checksum)

@@ -210,6 +210,24 @@ def _channel_ms(config: ReceiverConfig, signal, tables, carr_basis, active, st: 
     else:
         raise ValueError(f"unknown correlator_impl {config.correlator_impl!r}")
 
+    return _filters_and_outputs(config, carr_basis, active, st, step_q, blk, w,
+                                (i_e, i_p, i_l, q_e, q_p, q_l))
+
+
+def _filters_and_outputs(config: ReceiverConfig, carr_basis, active, st,
+                         step_q, blk, w, corr):
+    """Loop-filter updates + logged outputs from the six correlator sums.
+
+    Pure elementwise math — serves both the per-channel (scalar, vmapped)
+    and the channel-batched Pallas step.  Equations per reference
+    tracking.py:221-275.
+    """
+    code_len_q = config.code_length * CODE_ONE
+    tau1c, tau2c = config.pll_taus
+    tau1d, tau2d = config.dll_taus
+    pdi = config.pdi_s
+    i_e, i_p, i_l, q_e, q_p, q_l = corr
+
     # --- PLL (reference: tracking.py:221-235) -------------------------------
     i_p64, q_p64 = i_p.astype(jnp.float64), q_p.astype(jnp.float64)
     safe_ip = jnp.where(i_p64 != 0, i_p64, 1.0)
@@ -259,18 +277,58 @@ def _channel_ms(config: ReceiverConfig, signal, tables, carr_basis, active, st: 
     return new, outs
 
 
+def _channels_ms_pallas(config: ReceiverConfig, signal, codes_t, h_base,
+                        carr_basis, active, st: TrackState):
+    """One millisecond for ALL channels via the fused Pallas correlator.
+
+    ``codes_t``: (C, 3, T, w) transposed static code tables;
+    ``h_base``: (C, T) i64.  Scalar NCO bookkeeping stays exact int64 XLA.
+    """
+    from softgnss_tpu.track.pallas_kernel import fused_correlate, phase_decomposition
+
+    fs = config.sampling_freq
+    blk_win = config.track_window
+    tile = config.track_tile
+    code_len_q = config.code_length * CODE_ONE
+
+    step_q = code_step_q(st.code_freq, fs)                       # (C,) i64
+    blk = (code_len_q - st.code_rem_q + step_q - 1) // step_q
+
+    windows = jax.vmap(
+        lambda p: jax.lax.dynamic_slice(signal, (p,), (blk_win,)))(st.ptr)
+    windows = windows.astype(jnp.float32).reshape(len(st.ptr), -1, tile)
+
+    h_int, frac24, step24 = phase_decomposition(config, st.code_rem_q, step_q, h_base)
+    carr_w = carrier_step_u32(st.carr_freq, fs)                  # (C,) i32
+    scalars = jnp.stack([step24, st.carr_phase, carr_w,
+                         blk.astype(jnp.int32)], axis=1)
+    corr = fused_correlate(config, windows, h_int, frac24, codes_t, scalars)
+    corr6 = tuple(corr[:, i] for i in range(6))
+    return _filters_and_outputs(config, carr_basis, active, st, step_q, blk,
+                                carr_w, corr6)
+
+
 @partial(jax.jit, static_argnums=(0, 5))
 def _track_device(config: ReceiverConfig, signal, tables: CorrelatorTables,
                   carr_basis, active, n_ms: int, state0: TrackState):
-    """Scan over milliseconds with channels vmapped."""
+    """Scan over milliseconds with channels vmapped (or channel-batched
+    through the fused Pallas kernel when correlator_impl='pallas')."""
 
-    step_fn = jax.vmap(
-        lambda tab, cb, act, st: _channel_ms(config, signal, tab, cb, act, st),
-        in_axes=(0, 0, 0, 0),
-    )
+    if config.correlator_impl == "pallas":
+        codes_t = jnp.transpose(tables.codes_static, (0, 1, 3, 2))  # (C,T,3,w)
+        h_base = jnp.asarray(tables.h_base, jnp.int64)
 
-    def step(state, _):
-        return step_fn(tables, carr_basis, active, state)
+        def step(state, _):
+            return _channels_ms_pallas(config, signal, codes_t, h_base,
+                                       carr_basis, active, state)
+    else:
+        step_fn = jax.vmap(
+            lambda tab, cb, act, st: _channel_ms(config, signal, tab, cb, act, st),
+            in_axes=(0, 0, 0, 0),
+        )
+
+        def step(state, _):
+            return step_fn(tables, carr_basis, active, state)
 
     final, ys = jax.lax.scan(step, state0, None, length=n_ms)
     return final, ys

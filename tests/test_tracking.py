@@ -106,6 +106,19 @@ def test_onehot_matches_gather_impl(cfg, setup):
     np.testing.assert_allclose(res_oh.carr_freq, res_ga.carr_freq, atol=1e-6)
 
 
+def test_pallas_matches_onehot_impl(cfg, setup):
+    """The fused Pallas kernel (interpret mode on CPU) reproduces the
+    correlator sums within its Q24/f32-mantissa phase quantization."""
+    sats, signal, channels = setup
+    res_oh = track(cfg.with_options(correlator_impl="onehot"), signal, channels, n_ms=60)
+    res_pl = track(cfg.with_options(correlator_impl="pallas"), signal, channels, n_ms=60)
+    np.testing.assert_array_equal(res_oh.absolute_sample, res_pl.absolute_sample)
+    for key in ("i_p", "q_p", "i_e", "i_l"):
+        a, b = getattr(res_oh, key), getattr(res_pl, key)
+        scale = np.sqrt(np.mean(a**2))
+        assert np.max(np.abs(a - b)) / scale < 5e-3, key
+
+
 def test_inactive_channel_stays_silent(cfg, setup):
     _, signal, _ = setup
     channels = Channels(
