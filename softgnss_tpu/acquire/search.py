@@ -1,9 +1,8 @@
 """Cold-start acquisition: batched FFT code-phase/Doppler search.
 
 Searches every PRN over a Doppler grid for code phase and carrier frequency
-via FFT circular correlation, then refines carrier frequency with a long
-zero-padded FFT — the same math as the reference (acquisition.py:27-204), but
-batched TPU-first:
+via FFT circular correlation, then refines carrier frequency with a zoom
+FFT — the reference's search math (acquisition.py:27-204), batched TPU-first:
 
 * the reference loops 32 PRNs x 29 Doppler bins in Python, doing ~3.7k
   single-row FFT/IFFT pairs (reference: acquisition.py:92-133); here the whole
@@ -15,11 +14,14 @@ batched TPU-first:
 * the fine-frequency stage (reference: acquisition.py:166-193) runs for all
   PRNs under ``lax.map`` with masked selection — no data-dependent branching.
 
-Documented divergence from the reference: the reference drops the +4 bin
-offset when mapping the fine-FFT argmax back to a frequency
-(``fftFreqBins[fftMaxIndex]`` after searching ``fftxc[4:...]``,
-acquisition.py:186-191), a constant ~fs/fftNumPts*4 Hz underestimate. We add
-the offset back; the PLL would pull either in, but ours starts on frequency.
+Documented divergences from the reference:
+* the fine-frequency stage is a zoom FFT (coarse-bin mix -> boxcar
+  decimation -> small FFT) instead of the reference's 8x-zero-padded
+  multi-million-point FFT (acquisition.py:179-191): the giant FFT does not
+  compile on TPU, wastes >99% of its spectrum, and the reference's version
+  additionally drops a +4-bin offset when mapping its argmax back to Hz (a
+  constant ~fs/fftNumPts*4 Hz underestimate).  The zoom search has equal or
+  finer resolution (fine_freq_resolution) and starts the PLL on frequency.
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ import numpy as np
 
 from softgnss_tpu.config import ReceiverConfig
 from softgnss_tpu.signals.ca import ca_table, gold_codes
+from softgnss_tpu.signals.nco import carrier_sin_cos, carrier_step_u32
 
 
 @dataclass
@@ -65,29 +68,49 @@ class Channels:
         return len(self.prn)
 
 
-def _fine_freq_fft_size(config: ReceiverConfig) -> int:
-    n = config.acq_fine_freq_ms * config.samples_per_code
-    return int(8 * 2 ** int(np.ceil(np.log2(n))))
+def fine_freq_resolution(config: ReceiverConfig) -> float:
+    """Frequency resolution (Hz) of the zoom-FFT fine-frequency search."""
+    return (config.sampling_freq / config.acq_fine_decimation) / config.acq_fine_fft
+
+
+def _corr_fft_len(config: ReceiverConfig) -> int:
+    """FFT length for the code-phase correlation.
+
+    TPU XLA only supports power-of-two FFTs (38192-point aborts the
+    compiler), so for non-power-of-two samples_per_code the circular
+    correlation is computed as a zero-padded LINEAR correlation of length
+    >= 2N, folded back circularly in :func:`_prn_block` — numerically the
+    same grid the reference's direct N-point transform produces.
+    """
+    spc = config.samples_per_code
+    if spc & (spc - 1) == 0:
+        return spc
+    return 1 << int(np.ceil(np.log2(2 * spc)))
 
 
 def _baseband_ffts(config: ReceiverConfig, long_signal: jnp.ndarray):
-    """Doppler-mixed FFTs of the two acquisition milliseconds, (B, N) each,
+    """Doppler-mixed FFTs of the two acquisition milliseconds, (B, M) each,
     plus the DC-removed fine-frequency signal.  PRN-independent."""
     spc = config.samples_per_code
     fs = config.sampling_freq
+    fft_n = _corr_fft_len(config)
     sig = long_signal.astype(jnp.float32)
     sig1, sig2 = sig[:spc], sig[spc: 2 * spc]
     sig0dc = sig - jnp.mean(sig)
 
     # reference mixes with sin/cos separately (acquisition.py:103-117);
     # sin(th) + j*cos(th) = j*exp(-j*th), and the global j drops under |.|^2.
+    # Phases come from the exact uint32 carrier NCO + polynomial sine: TPU
+    # has no f64/c128 transcendentals (a complex128 exp aborts the compiler)
+    # and f32 phase ramps lose precision by the end of a 1 ms block.
     freqs = jnp.asarray(config.doppler_bin_freqs, jnp.float64)      # (B,)
-    t = jnp.arange(spc, dtype=jnp.float64) / fs
-    theta = 2.0 * jnp.pi * freqs[:, None] * t[None, :]
-    mixer = jnp.exp(-1j * theta.astype(jnp.float64)).astype(jnp.complex64)
+    steps = carrier_step_u32(freqs, fs)                              # (B,) i32
+    k32 = jnp.arange(spc, dtype=jnp.int32)
+    sin_v, cos_v = carrier_sin_cos(jnp.int32(0), steps[:, None], k32[None, :])
+    mixer = (cos_v - 1j * sin_v).astype(jnp.complex64)               # e^{-j th}
 
-    x1 = jnp.fft.fft(mixer * sig1[None, :])                          # (B, N)
-    x2 = jnp.fft.fft(mixer * sig2[None, :])
+    x1 = jnp.fft.fft(mixer * sig1[None, :], fft_n)                   # (B, M)
+    x2 = jnp.fft.fft(mixer * sig2[None, :], fft_n)
     return x1, x2, sig0dc
 
 
@@ -113,9 +136,18 @@ def _prn_block(config: ReceiverConfig, x1, x2, sig0dc, code_fd, gold):
     spc = config.samples_per_code
     fs = config.sampling_freq
     p = code_fd.shape[0]
+    fft_n = _corr_fft_len(config)
 
-    r1 = jnp.abs(jnp.fft.ifft(x1[None, :, :] * code_fd[:, None, :])) ** 2
-    r2 = jnp.abs(jnp.fft.ifft(x2[None, :, :] * code_fd[:, None, :])) ** 2
+    def corr_sq(x):
+        c = jnp.fft.ifft(x[None, :, :] * code_fd[:, None, :])        # (p, B, M)
+        if fft_n != spc:
+            # fold the zero-padded linear correlation back to circular:
+            # c_circ[k] = c_lin[k] + c_lin[k - N], negative lags at M - N + k
+            c = c[..., :spc] + c[..., fft_n - spc:]
+        return jnp.abs(c) ** 2
+
+    r1 = corr_sq(x1)
+    r2 = corr_sq(x2)
     # per Doppler row, keep whichever millisecond has the stronger peak
     # (bit-transition hedge, reference: acquisition.py:129-133)
     take1 = r1.max(-1, keepdims=True) > r2.max(-1, keepdims=True)
@@ -137,22 +169,45 @@ def _prn_block(config: ReceiverConfig, x1, x2, sig0dc, code_fd, gold):
     second = jnp.max(jnp.where(circ >= spchip, row, -jnp.inf), axis=1)
     metric = peak / second
 
-    # --- fine carrier frequency over 10 ms (reference: acquisition.py:166-193)
+    # --- fine carrier frequency over 10 ms: zoom FFT -----------------------
+    # The reference takes an 8x-zero-padded multi-million-point FFT of the
+    # code-wiped signal (acquisition.py:166-193) — the TPU compiler aborts
+    # on 4M-point FFTs, and almost all of that spectrum is discarded.
+    # TPU-native equivalent: mix down by the COARSE bin frequency (exact
+    # uint32-NCO carrier), boxcar-decimate, and take a small FFT around DC;
+    # fine = coarse + argmax within +/-acq_fine_band_hz.  Resolution is
+    # fine_freq_resolution(config) (~9 Hz at the reference workload, at
+    # least as fine as the reference's fs/fft_pts).
     fine_n = config.acq_fine_freq_ms * spc
-    fft_pts = _fine_freq_fft_size(config)
-    uniq = int(np.ceil((fft_pts + 1) / 2))
+    decim = config.acq_fine_decimation
+    nfft = config.acq_fine_fft
+    n_dec = -(-fine_n // decim)                                # ceil
+    pad = n_dec * decim - fine_n
     chip_idx = jnp.asarray(_fine_chip_indices(config))
+    fs_dec = fs / decim
+    freqs_fft = np.fft.fftfreq(nfft, 1.0 / fs_dec)
+    band_mask = jnp.asarray(np.abs(freqs_fft) <= config.acq_fine_band_hz)
+    freqs_fft = jnp.asarray(freqs_fft)
+    coarse = jnp.take(jnp.asarray(config.doppler_bin_freqs, jnp.float64), bin_idx)
 
     def fine_one(args):
-        cp, code = args
+        cp, code, f_coarse = args
         long_code = code[chip_idx]
         x = jax.lax.dynamic_slice(sig0dc, (cp,), (fine_n,)) * long_code
-        mag = jnp.abs(jnp.fft.fft(x.astype(jnp.complex64), fft_pts))
-        window = jax.lax.dynamic_slice(mag, (4,), (uniq - 9,))
-        k = jnp.argmax(window) + 4
-        return k.astype(jnp.float64) * (fs / fft_pts)
+        w = carrier_step_u32(f_coarse, fs)
+        sin_v, cos_v = carrier_sin_cos(jnp.int32(0), w,
+                                       jnp.arange(fine_n, dtype=jnp.int32))
+        # decimate I and Q as real arrays; go complex only on the short
+        # decimated series (large complex intermediates hit TPU
+        # Unimplemented paths)
+        dec_i = jnp.pad(x * cos_v, (0, pad)).reshape(n_dec, decim).sum(axis=1)
+        dec_q = jnp.pad(x * sin_v, (0, pad)).reshape(n_dec, decim).sum(axis=1)
+        dec = (dec_i - 1j * dec_q).astype(jnp.complex64)
+        mag = jnp.abs(jnp.fft.fft(dec, nfft))
+        k = jnp.argmax(jnp.where(band_mask, mag, -jnp.inf))
+        return f_coarse + freqs_fft[k]
 
-    fine_freq = jax.lax.map(fine_one, (code_phase, gold))
+    fine_freq = jax.lax.map(fine_one, (code_phase, gold, coarse))
 
     carr_freq = jnp.where(metric > config.acq_threshold, fine_freq, 0.0)
     return carr_freq, code_phase.astype(jnp.int64), metric.astype(jnp.float64)
@@ -163,16 +218,16 @@ def _acquire_device(config: ReceiverConfig, long_signal: jnp.ndarray):
     prn_list = np.asarray(config.acq_satellite_list, np.int64)
     x1, x2, sig0dc = _baseband_ffts(config, long_signal)
 
-    spc = config.samples_per_code
+    fft_n = _corr_fft_len(config)
     codes = jnp.asarray(ca_table(config)[prn_list - 1])              # (P, N)
-    code_fd = jnp.conj(jnp.fft.fft(codes.astype(jnp.complex64)))     # (P, N)
+    code_fd = jnp.conj(jnp.fft.fft(codes.astype(jnp.complex64), fft_n))  # (P, M)
     gold = jnp.asarray(gold_codes()[prn_list - 1], jnp.float32)      # (P, 1023)
 
-    # chunk over PRNs: the (chunk, B, N) grid bounds HBM footprint
+    # chunk over PRNs: the (chunk, B, M) grid bounds HBM footprint
     chunk = min(config.acq_prn_chunk, len(prn_list))
     n_prn = len(prn_list)
     pad = (-n_prn) % chunk
-    code_fd = jnp.pad(code_fd, ((0, pad), (0, 0))).reshape(-1, chunk, spc)
+    code_fd = jnp.pad(code_fd, ((0, pad), (0, 0))).reshape(-1, chunk, fft_n)
     gold = jnp.pad(gold, ((0, pad), (0, 0))).reshape(-1, chunk, 1023)
 
     outs = jax.lax.map(

@@ -64,6 +64,13 @@ class ReceiverConfig:
     #: milliseconds of signal used by the fine-frequency search
     #: (hard-coded 10 in reference: acquisition.py:172-177)
     acq_fine_freq_ms: int = 10
+    #: zoom-FFT fine search: boxcar decimation factor after the coarse mix
+    acq_fine_decimation: int = 512
+    #: zoom-FFT fine search: FFT length on the decimated signal
+    acq_fine_fft: int = 8192
+    #: zoom-FFT fine search: half-width of the searched band around the
+    #: coarse bin, Hz (coarse bins are acq_doppler_step_hz apart)
+    acq_fine_band_hz: float = 400.0
 
     # --- tracking loops ----------------------------------------------------
     #: DLL damping ratio (reference: initialize.py:130)

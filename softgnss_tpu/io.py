@@ -29,6 +29,11 @@ _SAMPLES_PER_BYTE = {"int8": 1, "uint8": 1, "int4": 2, "int2": 4, "int1": 8}
 def _unpack(raw: np.ndarray, fmt: str) -> np.ndarray:
     if fmt == "int8":
         return raw.view(np.int8)
+    from softgnss_tpu import native
+
+    fast = native.unpack(raw, fmt)
+    if fast is not None:
+        return fast
     if fmt == "uint8":
         return (raw.astype(np.int16) - 128).astype(np.int8)
     if fmt == "int4":
@@ -58,9 +63,14 @@ def read_if_samples(path: str, config: ReceiverConfig,
     """
     fmt = config.data_format
     if fmt == "int16":
+        from softgnss_tpu import native
+
         data = np.memmap(path, np.int16, "r", offset=2 * offset_samples)
         if count is not None:
             data = data[:count]
+        fast = native.narrow_int16(np.asarray(data))
+        if fast is not None:
+            return fast
         return np.clip(np.asarray(data) >> 8, -128, 127).astype(np.int8)
     if fmt not in _SAMPLES_PER_BYTE:
         raise ValueError(f"unsupported data_format {fmt!r}")
@@ -110,7 +120,14 @@ def probe_data(config: ReceiverConfig, signal: np.ndarray,
     psd[1:-1] *= 2
     freqs = np.fft.rfftfreq(seg, 1.0 / config.sampling_freq)
 
-    values, counts = np.unique(signal[:n], return_counts=True)
+    from softgnss_tpu import native
+
+    fast = native.probe_stats(np.ascontiguousarray(signal[:n], np.int8))
+    if fast is not None:
+        nz = fast["hist"].nonzero()[0]
+        values, counts = (nz - 128).astype(signal.dtype), fast["hist"][nz]
+    else:
+        values, counts = np.unique(signal[:n], return_counts=True)
     return {
         "n_samples": int(n),
         "time_axis_ms": np.arange(min(n, config.samples_per_code // 2)) / config.sampling_freq * 1000.0,

@@ -62,8 +62,11 @@ def acquire_sharded(config: ReceiverConfig, long_signal: np.ndarray,
     pad = (-n_prn) % n_shards
     padded = np.concatenate([prn_list, prn_list[:1].repeat(pad)])
 
+    from softgnss_tpu.acquire.search import _corr_fft_len
+
     codes = ca_table(config)[padded - 1]
-    code_fd = np.conj(np.fft.fft(codes.astype(np.complex64))).astype(np.complex64)
+    code_fd = np.conj(np.fft.fft(codes.astype(np.complex64),
+                                 _corr_fft_len(config))).astype(np.complex64)
     gold = gold_codes()[padded - 1].astype(np.float32)
 
     carr, phase, metric = _acquire_sharded_device(

@@ -40,8 +40,9 @@ def test_acquires_injected_sats(cfg, scenario):
         i = s.prn - 1
         # code phase exact to the sample (signal synthesized at integer delay)
         assert abs(int(res.code_phase[i]) - int(s.delay_samples)) <= 1
-        # fine frequency within one fine-FFT bin + a little noise margin
-        fine_bin = cfg.sampling_freq / (8 * 2 ** np.ceil(np.log2(10 * cfg.samples_per_code)))
+        # fine frequency within a few zoom-FFT bins + noise margin
+        from softgnss_tpu.acquire.search import fine_freq_resolution
+        fine_bin = fine_freq_resolution(cfg)
         truth = cfg.intermediate_freq + s.doppler_hz
         assert abs(res.carr_freq[i] - truth) < 3 * fine_bin + 5.0
 
