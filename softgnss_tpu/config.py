@@ -37,8 +37,8 @@ class ReceiverConfig:
     #: default capture file (reference: initialize.py:99)
     file_name: str = ""
     #: on-disk sample encoding; 'int8' matches the reference
-    #: (reference: initialize.py:102); packed formats ('int4', 'int2',
-    #: 'int1', 'iq_int8') are handled by softgnss_tpu.io
+    #: (reference: initialize.py:102); 'int16'/'uint8' and packed 'int4'/
+    #: 'int2'/'int1' are handled by softgnss_tpu.io
     data_format: str = "int8"
     #: intermediate frequency after the RF front end, Hz
     #: (reference: initialize.py:105)

@@ -77,8 +77,17 @@ def find_preambles(i_p: np.ndarray, status: list[str],
     if not tracked:
         return first_subframe, np.asarray([], np.int64)
 
+    import contextlib
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
     signs = np.where(i_p[:, search_start_offset:] > 0, 1, -1)
-    xcorr = np.asarray(_preamble_correlation(jnp.asarray(signs)))
+    # host backend: a (C, n_ms) correlation is microseconds of work; TPU
+    # dispatch + compile would dominate
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        xcorr = np.asarray(_preamble_correlation(jnp.asarray(signs)))
 
     active = []
     for c in tracked:

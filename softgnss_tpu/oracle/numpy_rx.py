@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from softgnss_tpu.config import ReceiverConfig
-from softgnss_tpu.signals.ca import ca_table, gold_code, padded_code
+from softgnss_tpu.signals.ca import ca_table, padded_code
 
 
 def oracle_acquire_grid(config: ReceiverConfig, long_signal: np.ndarray, prn: int):

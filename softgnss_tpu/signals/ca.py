@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import functools
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from softgnss_tpu.config import ReceiverConfig

@@ -181,9 +181,6 @@ def _channel_ms(config: ReceiverConfig, signal, tables, carr_basis, active, st: 
     fs = config.sampling_freq
     blk_win = config.track_window
     code_len_q = config.code_length * CODE_ONE
-    tau1c, tau2c = config.pll_taus
-    tau1d, tau2d = config.dll_taus
-    pdi = config.pdi_s
 
     # --- block size from exact integer code NCO ---------------------------
     step_q = code_step_q(st.code_freq, fs)
