@@ -115,6 +115,23 @@ class TestPipeline:
         assert res.acquisition.acquired.sum() == 2
         assert "read" in res.timings_s
 
+    def test_skip_samples(self, small_capture):
+        """A skipped prefix shifts acquisition but absolute bookkeeping holds
+        (reference skipNumberOfBytes, initialize.py:94)."""
+        cfg, sats, sig = small_capture
+        skip = 2 * cfg.samples_per_code
+        cfg_skip = cfg.with_options(skip_samples=skip)
+        padded = np.concatenate([np.zeros(skip, np.int8), sig])
+        res = run_receiver(cfg_skip, signal=padded, n_ms=200, navigate=False)
+        base = run_receiver(cfg, signal=sig, n_ms=200, navigate=False)
+        np.testing.assert_array_equal(res.acquisition.code_phase,
+                                      base.acquisition.code_phase)
+        active = [c for c, s in enumerate(base.tracking.status) if s == "T"]
+        np.testing.assert_array_equal(
+            res.tracking.absolute_sample[active] - skip,
+            base.tracking.absolute_sample[active])
+        np.testing.assert_array_equal(res.tracking.i_p, base.tracking.i_p)
+
     def test_too_short_capture(self):
         cfg = sg.fast_config()
         with pytest.raises(ValueError, match="too short"):
