@@ -126,14 +126,17 @@ def load_tracking(path: str) -> TrackResults:
 def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
                  file_name: str | None = None, n_ms: int | None = None,
                  probe: bool = False, navigate: bool = True,
-                 checkpoint: str | None = None) -> ReceiverResults:
+                 checkpoint: str | None = None,
+                 channels: Channels | None = None) -> ReceiverResults:
     """Run the full receiver chain.
 
     ``signal``: in-memory int8 capture (absolute sample indexing including
     ``config.skip_samples``), or ``file_name`` to read one.  ``n_ms``
     overrides ``config.ms_to_process``.  ``checkpoint``: path to a .npz
     tracking checkpoint — loaded if it exists, written after tracking
-    otherwise.
+    otherwise.  ``channels``: pre-assigned tracking channels — skips the
+    acquisition stage (also honored when ``config.skip_acquisition`` is
+    set, the reference's skipAcquisition flag, initialize.py:117).
     """
     import os
 
@@ -154,18 +157,24 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
         results.probe = sio.probe_data(config, signal[skip:])
 
     # --- acquisition (reference: initialize.py:481-492) --------------------
-    t0 = time.monotonic()
-    acq_need = config.acquisition_ms * spc
-    if len(signal) < skip + acq_need:
-        raise ValueError(f"capture too short for acquisition: need "
-                         f"{skip + acq_need} samples, got {len(signal)}")
-    results.acquisition = acquire(config, signal[skip: skip + acq_need])
-    results.timings_s["acquire"] = time.monotonic() - t0
+    if channels is not None:
+        results.channels = channels
+    elif config.skip_acquisition:
+        raise ValueError("config.skip_acquisition requires channels= "
+                         "(pre-assigned tracking channels)")
+    else:
+        t0 = time.monotonic()
+        acq_need = config.acquisition_ms * spc
+        if len(signal) < skip + acq_need:
+            raise ValueError(f"capture too short for acquisition: need "
+                             f"{skip + acq_need} samples, got {len(signal)}")
+        results.acquisition = acquire(config, signal[skip: skip + acq_need])
+        results.timings_s["acquire"] = time.monotonic() - t0
 
-    if not results.acquisition.acquired.any():
-        logger.warning("No GNSS signals detected, signal processing finished.")
-        return results
-    results.channels = assign_channels(config, results.acquisition)
+        if not results.acquisition.acquired.any():
+            logger.warning("No GNSS signals detected, signal processing finished.")
+            return results
+        results.channels = assign_channels(config, results.acquisition)
 
     # --- tracking -----------------------------------------------------------
     t0 = time.monotonic()

@@ -44,10 +44,18 @@ class CorrelatorTables(NamedTuple):
     h_base: np.ndarray
 
 
+#: margin half-chips above/below a tile's nominal span.  Bound: remainder
+#: phase contributes < 2*step (~0.05), the ceil/floor offsets < 2, and
+#: code-rate drift vs the table nominal < 2*(5 Hz/fs)*window (~0.01) — a
+#: +-2 offset with +5 width headroom covers all of it several times over.
+_H_OFFSET = 2
+_H_MARGIN = 5
+
+
 def onehot_width(config: ReceiverConfig) -> int:
     """Static width of the tile-local half-chip window."""
     per_tile = 2.0 * config.track_tile * config.code_freq_basis / config.sampling_freq
-    w = int(np.ceil(per_tile)) + 16
+    w = int(np.ceil(per_tile)) + _H_MARGIN
     return (w + 7) // 8 * 8
 
 
@@ -99,7 +107,7 @@ def build_tables(config: ReceiverConfig, prns: np.ndarray,
                    else acquired_freq[i] - config.intermediate_freq)
         fc_eff = config.code_freq_basis * (1.0 + doppler / config.l1_freq)
         s_chips = fc_eff / config.sampling_freq            # chips per sample
-        base = np.floor(2.0 * s_chips * tile * t_idx).astype(np.int64) - 8
+        base = np.floor(2.0 * s_chips * tile * t_idx).astype(np.int64) - _H_OFFSET
         h_base[i] = base
         idx = base[:, None] + np.arange(w)[None, :]        # (T, w)
         codes_static[i] = half[np.clip(idx, 0, len(half) - 1)]

@@ -115,6 +115,22 @@ class TestPipeline:
         assert res.acquisition.acquired.sum() == 2
         assert "read" in res.timings_s
 
+    def test_channels_override_skips_acquisition(self, small_capture):
+        """Pre-assigned channels (the reference's skipAcquisition path)."""
+        from softgnss_tpu.acquire import acquire, assign_channels
+
+        cfg, sats, sig = small_capture
+        ch = assign_channels(cfg, acquire(cfg, sig))
+        res = run_receiver(cfg.with_options(skip_acquisition=True),
+                           signal=sig, n_ms=200, navigate=False, channels=ch)
+        assert res.acquisition is None
+        assert "acquire" not in res.timings_s
+        base = run_receiver(cfg, signal=sig, n_ms=200, navigate=False)
+        np.testing.assert_array_equal(res.tracking.i_p, base.tracking.i_p)
+        with pytest.raises(ValueError, match="skip_acquisition"):
+            run_receiver(cfg.with_options(skip_acquisition=True),
+                         signal=sig, n_ms=100)
+
     def test_skip_samples(self, small_capture):
         """A skipped prefix shifts acquisition but absolute bookkeeping holds
         (reference skipNumberOfBytes, initialize.py:94)."""

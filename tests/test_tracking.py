@@ -106,6 +106,23 @@ def test_onehot_matches_gather_impl(cfg, setup):
     np.testing.assert_allclose(res_oh.carr_freq, res_ga.carr_freq, atol=1e-6)
 
 
+def test_onehot_window_margin_at_extreme_doppler(cfg):
+    """The tile-local one-hot window must hold at the Doppler band edge
+    (the gather path is exact regardless, so disagreement = clipping)."""
+    for doppler in (7000.0, -7000.0):
+        sat = SatelliteSignal(prn=14, doppler_hz=doppler, delay_samples=900.0)
+        signal = synthesize_signal(cfg, [sat], 120, noise_std=0.5, seed=2)
+        channels = Channels(
+            prn=np.array([14, 0], np.int64),
+            acquired_freq=np.array([cfg.intermediate_freq + doppler, 0.0]),
+            code_phase=np.array([900, 0], np.int64),
+            status=["T", "-"])
+        a = track(cfg.with_options(correlator_impl="onehot"), signal, channels, n_ms=100)
+        b = track(cfg.with_options(correlator_impl="gather"), signal, channels, n_ms=100)
+        scale = np.sqrt(np.mean(b.i_p[0] ** 2))
+        assert np.max(np.abs(a.i_p[0] - b.i_p[0])) / scale < 1e-4, doppler
+
+
 def test_pallas_matches_onehot_impl(cfg, setup):
     """The fused Pallas kernel (interpret mode on CPU) reproduces the
     correlator sums within its Q24/f32-mantissa phase quantization."""
