@@ -85,3 +85,23 @@ class TestEndToEnd:
         assert np.all(sol.dop[0][ok] > 0)
         el = sol.el[np.isfinite(sol.el)]
         assert np.all(el >= cfg.elevation_mask_deg - 1.0)
+
+    def test_time_sharded_tracking_feeds_navigation(self, e2e_results):
+        """Sequence-parallel tracking (2 time blocks x warm-up re-lock +
+        polarity reconciliation) must produce observables the navigation
+        stage decodes to the same fix quality as the sequential run."""
+        from softgnss_tpu.nav.solve import post_navigate
+        from softgnss_tpu.parallel import receiver_mesh, track_time_sharded
+
+        cfg, scenario, results = e2e_results
+        sig = synthesize_scenario(scenario, N_MS + cfg.acquisition_ms + 2)
+        mesh = receiver_mesh(cfg, n_time=2, n_channel=4)
+        tr = track_time_sharded(cfg, sig, results.channels, mesh, n_ms=N_MS)
+        sol, ephs = post_navigate(cfg, tr)
+        assert sol is not None
+        rx = scenario.receiver_ecef
+        ok = np.isfinite(sol.x)
+        assert ok.sum() >= 0.9 * sol.n_epochs
+        err = np.sqrt((sol.x[ok] - rx[0]) ** 2 + (sol.y[ok] - rx[1]) ** 2
+                      + (sol.z[ok] - rx[2]) ** 2)
+        assert np.median(err) < 300.0

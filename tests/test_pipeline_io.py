@@ -161,6 +161,24 @@ class TestPipeline:
         assert not res.has_fix
 
 
+class TestPlots:
+    def test_probe_acquisition_tracking_plots(self, small_capture, tmp_path):
+        import os
+
+        from softgnss_tpu import plots
+
+        cfg, sats, sig = small_capture
+        res = run_receiver(cfg, signal=sig, n_ms=200, navigate=False, probe=True)
+        paths = [plots.plot_probe(cfg, res.probe, str(tmp_path)),
+                 plots.plot_acquisition(cfg, res.acquisition, str(tmp_path)),
+                 plots.plot_tracking(cfg, res.tracking, 0, str(tmp_path))]
+        for p in paths:
+            assert os.path.getsize(p) > 10000
+        all_paths = plots.plot_all(cfg.with_options(plot_tracking=True), res,
+                                   out_dir=str(tmp_path))
+        assert len(all_paths) == 2 + sum(1 for s in res.tracking.status if s != "-")
+
+
 class TestCLI:
     def test_build_config_overrides(self):
         class Args:
