@@ -6,21 +6,27 @@ established closed-loop: inject known PRNs / Doppler / delays / nav bits,
 synthesize int8 IF samples, and verify that every receiver stage recovers the
 injected truth (SURVEY.md §4).
 
-The generator runs as a jitted JAX program, chunked per millisecond block so
-arbitrarily long captures stream through device memory; on a TPU it
-synthesizes the reference's full 37 s x 38.192 MHz workload in seconds.
-
 Signal model (per satellite)::
 
     s[k] = A * CA_prn(floor(chips(k)) mod 1023) * D(floor(chips(k)/1023/20))
              * sin(2*pi*(IF + fd) * k/fs + phi0)
-    chips(k) = fc_eff * (k - delay_samples) / fs
-    fc_eff   = code_freq_basis * (1 + fd / fL1)        # consistent code Doppler
+    chips(k) = fc_eff * (k - delay_samples) / fs          (static delay)
+    chips(k) = fc * (t_rx0 + k/fs - tau(k) - t_bits0)     (dynamic delay)
+    fc_eff   = code_freq_basis * (1 + fd / fL1)           # consistent code Doppler
 
 so ``delay_samples mod samples_per_code`` is the acquisition code phase and
 ``IF + fd`` the acquisition carrier frequency.  The carrier is sine-phased:
 with the reference's mixing convention (I = sin * x, reference:
 tracking.py:205-207) a phase-locked PLL then yields nav bits on I_P.
+
+TPU-native execution: within each 1-ms block, code phase, carrier phase,
+and delay are (piecewise-)linear, so every per-ms quantity reduces to a
+host-precomputed (satellite, ms) parameter table — window-relative Q40
+chip phase, uint32 carrier counts, the at-most-one nav-bit edge per ms —
+and the device scan is pure elementwise math + one dynamic_slice of the
+code + a constant-index tile gather + a narrow one-hot contraction (the
+same gather-free pattern as the tracking correlator; data-dependent
+gathers are ~100x slower on TPU).
 """
 
 from __future__ import annotations
@@ -28,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +42,13 @@ import numpy as np
 
 from softgnss_tpu.config import ReceiverConfig
 from softgnss_tpu.signals.ca import gold_codes
+from softgnss_tpu.signals.nco import carrier_sin_cos
 
 _BITS_PER_PERIOD = 20  # nav bit = 20 C/A code periods
+_CHIPS_PER_BIT = 1023 * _BITS_PER_PERIOD
+_Q = 40
+_QONE = 1 << _Q
+_TILE = 128
 
 
 @dataclass(frozen=True)
@@ -73,52 +85,134 @@ def _nav_bit_array(sat: SatelliteSignal) -> np.ndarray:
     return bits
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 5))
-def _synth_chunks(config: ReceiverConfig, sat_static: tuple, n_ms: int,
-                  sat_dynamic: dict, noise_key, noise_std: float):
-    """All-ms synthesis: scan over 1-ms chunks, vmap over satellites."""
-    spms = config.samples_per_code  # samples per ms (fs divisible by 1000)
-    fs = config.sampling_freq
+class _MsParams(NamedTuple):
+    """Per-(satellite, ms) tables; leading axes (S, n_ms) on the host,
+    transposed to (n_ms, S) for the device scan."""
 
-    prns, bit_lens = sat_static
-    codes = jnp.asarray(gold_codes()[np.asarray(prns) - 1], jnp.float32)  # (S, 1023)
-    max_bits = max(bit_lens)
-    # per-sat nav bit tables padded to a common length; index mod actual len
-    bit_table = sat_dynamic["bits"]          # (S, max_bits) f32
-    bit_len = jnp.asarray(bit_lens, jnp.int64)  # (S,)
-    amp = sat_dynamic["amp"]                 # (S,) f32
-    phi0 = sat_dynamic["phi0"]               # (S,) f64
-    delay = sat_dynamic["delay"]             # (S,) f64 samples
-    fcarr = sat_dynamic["fcarr"]             # (S,) f64  = IF + doppler
-    fcode = sat_dynamic["fcode"]             # (S,) f64
+    win_start: np.ndarray   # i32 code-window start chip, in [0, 1023)
+    frac0_q: np.ndarray     # i64 Q40 window-relative chips at sample 0
+    step_q: np.ndarray      # i64 Q40 chips/sample
+    bit0: np.ndarray        # f32 nav bit before the edge
+    bit1: np.ndarray        # f32 nav bit after the edge
+    edge_q: np.ndarray      # i64 Q40 window-relative chips of the bit edge
+    p0: np.ndarray          # i32 carrier NCO counts at sample 0
+    pw: np.ndarray          # i32 carrier NCO counts/sample
 
-    k_local = jnp.arange(spms, dtype=jnp.float64)
 
-    def one_sat_chunk(code, bits, blen, a, p0, d, fc_car, fc_code, k0):
-        k = k0 + k_local
-        chips = fc_code * (k - d) / fs
-        chip_idx = jnp.floor(chips).astype(jnp.int64)
-        code_val = code[(chip_idx % 1023).astype(jnp.int32)]
-        period = jnp.floor_divide(chip_idx, 1023)
-        bit_idx = jnp.floor_divide(period, _BITS_PER_PERIOD)
-        bit_val = bits[(bit_idx % blen).astype(jnp.int32)]
-        ang = 2.0 * jnp.pi * fc_car * k / fs + p0
-        carrier = jnp.sin(ang).astype(jnp.float32)
-        return a * code_val * bit_val * carrier
+def _window_geometry(config: ReceiverConfig):
+    """Static tile geometry of the per-ms code window."""
+    spms = config.samples_per_code
+    t_count = -(-spms // _TILE)
+    s_nom = config.code_freq_basis / config.sampling_freq      # chips/sample
+    w = int(np.ceil(s_nom * _TILE)) + 8
+    w = (w + 7) // 8 * 8
+    win_chips = int(np.ceil(s_nom * t_count * _TILE)) + 8
+    h_base = np.floor(s_nom * _TILE * np.arange(t_count)).astype(np.int64) - 2
+    static_idx = np.clip(h_base[:, None] + np.arange(w)[None, :], 0, win_chips - 1)
+    return t_count, w, win_chips, h_base.astype(np.int32), static_idx.astype(np.int32)
 
-    def chunk_step(carry_key, ms):
-        k0 = (ms * spms).astype(jnp.float64)
-        per_sat = jax.vmap(one_sat_chunk, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None))(
-            codes, bit_table, bit_len, amp, phi0, delay, fcarr, fcode, k0)
-        x = per_sat.sum(axis=0)
+
+def _build_params(config: ReceiverConfig, n_ms: int, chips0: np.ndarray,
+                  chip_slope: np.ndarray, cyc0: np.ndarray, cyc_slope: np.ndarray,
+                  bit_tables: list[np.ndarray], wrap_bits: bool) -> _MsParams:
+    """Host-side per-ms parameter tables (all float64/integer NumPy).
+
+    chips0/cyc0: (S, n_ms) code chips / carrier cycles at each ms start;
+    chip_slope/cyc_slope: (S, n_ms) per-sample slopes.
+    """
+    c0 = np.floor(chips0).astype(np.int64)
+    frac0_q = np.rint((chips0 - c0) * _QONE).astype(np.int64)
+    carry = frac0_q >= _QONE
+    c0 += carry
+    frac0_q = np.where(carry, 0, frac0_q)
+    step_q = np.rint(chip_slope * _QONE).astype(np.int64)
+
+    win_start = np.mod(c0, 1023).astype(np.int32)
+
+    b_idx = c0 // _CHIPS_PER_BIT
+    edge_chip = (b_idx + 1) * _CHIPS_PER_BIT
+    edge_q = np.minimum((edge_chip - c0), 1 << 20) * _QONE - frac0_q
+
+    s = chips0.shape[0]
+    bit0 = np.empty(chips0.shape, np.float32)
+    bit1 = np.empty(chips0.shape, np.float32)
+    for i in range(s):
+        table = bit_tables[i]
+        if wrap_bits:
+            bit0[i] = table[np.mod(b_idx[i], len(table))]
+            bit1[i] = table[np.mod(b_idx[i] + 1, len(table))]
+        else:
+            bit0[i] = table[np.clip(b_idx[i], 0, len(table) - 1)]
+            bit1[i] = table[np.clip(b_idx[i] + 1, 0, len(table) - 1)]
+
+    p0 = np.rint((cyc0 - np.floor(cyc0)) * 2.0**32).astype(np.int64)
+    pw = np.rint(np.mod(cyc_slope, 1.0) * 2.0**32).astype(np.int64)
+    to_i32 = lambda x: (np.bitwise_and(x, 0xFFFFFFFF)
+                        - (np.bitwise_and(x, 0xFFFFFFFF) >> 31 << 32)).astype(np.int32)
+    return _MsParams(win_start, frac0_q, step_q, bit0, bit1, edge_q,
+                     to_i32(p0), to_i32(pw))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+def _synth_device(config: ReceiverConfig, n_ms: int, params, codes3, amps,
+                  noise_std: float, noise_key):
+    """Scan over 1-ms blocks; satellites vmapped inside each block.
+
+    params: _MsParams with (n_ms, S) leading axes; codes3: (S, 3*1023) f32
+    tiled C/A codes; amps: (S,) f32.
+    """
+    spms = config.samples_per_code
+    t_count, w, win_chips, h_base, static_idx = _window_geometry(config)
+    h_base_j = jnp.asarray(h_base)                              # (T,)
+    static_idx_j = jnp.asarray(static_idx)                      # (T, w)
+    iota_w = jnp.arange(w, dtype=jnp.int32)
+    j_lane = jnp.arange(_TILE, dtype=jnp.int64)
+    k32 = (jnp.arange(t_count, dtype=jnp.int32)[:, None] * _TILE
+           + jnp.arange(_TILE, dtype=jnp.int32)[None, :])       # (T, 128)
+    t_off = (jnp.arange(t_count, dtype=jnp.int64) * _TILE)      # (T,)
+
+    def one_sat(p: _MsParams, code3, amp):
+        win = jax.lax.dynamic_slice(code3, (p.win_start,), (win_chips,))
+        tiles = win[static_idx_j]                               # (T, w) const idx
+        pt = p.frac0_q + p.step_q * t_off                       # (T,) Q40
+        h_int = (pt >> _Q).astype(jnp.int32)                    # (T,) chips
+        frac24 = ((pt & (_QONE - 1)) >> 16)                     # (T,) i64 Q24
+        step24 = p.step_q >> 16
+        off = ((frac24[:, None] + step24 * j_lane[None, :]) >> 24).astype(jnp.int32)
+        loc = jnp.clip(h_int[:, None] + off - h_base_j[:, None], 0, w - 1)
+        oh = (loc[:, :, None] == iota_w[None, None, :]).astype(jnp.float32)
+        code_val = jnp.einsum("tkw,tw->tk", oh, tiles,
+                              preferred_element_type=jnp.float32)
+
+        chips_q = pt[:, None] + p.step_q * j_lane[None, :]      # (T, 128) Q40
+        bit_val = jnp.where(chips_q >= p.edge_q, p.bit1, p.bit0)
+
+        sin_v, _ = carrier_sin_cos(p.p0, p.pw, k32)
+        return amp * code_val * bit_val * sin_v                 # (T, 128)
+
+    def ms_step(carry_key, xs):
+        per_sat = jax.vmap(one_sat, in_axes=(0, 0, 0))(xs, codes3, amps)
+        x = per_sat.sum(axis=0).reshape(-1)[:spms]
         key, sub = jax.random.split(carry_key)
         if noise_std > 0.0:
             x = x + noise_std * jax.random.normal(sub, (spms,), jnp.float32)
         q = jnp.clip(jnp.round(x), -128, 127).astype(jnp.int8)
         return key, q
 
-    _, out = jax.lax.scan(chunk_step, noise_key, jnp.arange(n_ms, dtype=jnp.int64))
+    _, out = jax.lax.scan(ms_step, noise_key, params, length=n_ms)
     return out.reshape(-1)
+
+
+def _run_synth(config: ReceiverConfig, prns, params: _MsParams, amps,
+               n_ms: int, noise_std: float, seed: int) -> np.ndarray:
+    codes = gold_codes()[np.asarray(prns) - 1].astype(np.float32)
+    codes3 = np.concatenate([codes, codes, codes], axis=1)      # (S, 3069)
+    # device layout: (n_ms, S) so the scan slices per-ms rows
+    dev_params = _MsParams(*[jnp.asarray(np.ascontiguousarray(a.T)) for a in params])
+    out = _synth_device(config, int(n_ms), dev_params, jnp.asarray(codes3),
+                        jnp.asarray(amps, jnp.float32), float(noise_std),
+                        jax.random.PRNGKey(seed))
+    return np.asarray(jax.device_get(out))
 
 
 def synthesize_signal(config: ReceiverConfig, sats: list[SatelliteSignal],
@@ -129,79 +223,25 @@ def synthesize_signal(config: ReceiverConfig, sats: list[SatelliteSignal],
     if not sats:
         raise ValueError("need at least one satellite")
 
-    bit_arrays = [_nav_bit_array(s) for s in sats]
-    max_bits = max(len(b) for b in bit_arrays)
-    bits = np.stack([np.pad(b, (0, max_bits - len(b))) for b in bit_arrays])
-
-    sat_static = (tuple(s.prn for s in sats), tuple(len(b) for b in bit_arrays))
-    sat_dynamic = {
-        "bits": jnp.asarray(bits, jnp.float32),
-        "amp": jnp.asarray([s.amplitude for s in sats], jnp.float32),
-        "phi0": jnp.asarray([s.phase0 for s in sats], jnp.float64),
-        "delay": jnp.asarray([s.delay_samples for s in sats], jnp.float64),
-        "fcarr": jnp.asarray(
-            [config.intermediate_freq + s.doppler_hz for s in sats], jnp.float64),
-        "fcode": jnp.asarray([s.effective_code_freq(config) for s in sats], jnp.float64),
-    }
-    key = jax.random.PRNGKey(seed)
-    out = _synth_chunks(config, sat_static, int(n_ms), sat_dynamic, key, float(noise_std))
-    return np.asarray(jax.device_get(out))
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 5))
-def _synth_dynamic_chunks(config: ReceiverConfig, prns: tuple, n_ms: int,
-                          sat_dynamic: dict, noise_key, noise_std: float):
-    """Per-ms-piecewise-linear-delay synthesis: scan over 1-ms chunks.
-
-    The delay tables sample the true light time at every ms boundary; within
-    a chunk tau(t) is interpolated linearly (curvature error over 1 ms is
-    ~1e-7 samples for GPS dynamics), keeping code phase and carrier phase
-    continuous and geometry-consistent across the whole capture.
-    """
-    spms = config.samples_per_code
     fs = config.sampling_freq
-    f_l1 = config.l1_freq
-    f_if = config.intermediate_freq
-    fc = config.code_freq_basis
+    spms = config.samples_per_code
+    m = np.arange(n_ms, dtype=np.float64)[None, :] * spms       # sample at ms start
 
-    codes = jnp.asarray(gold_codes()[np.asarray(prns) - 1], jnp.float32)  # (S, 1023)
-    bit_table = sat_dynamic["bits"]          # (S, n_bits) f32 +/-1
-    n_bits = bit_table.shape[1]
-    amp = sat_dynamic["amp"]                 # (S,)
-    phi0 = sat_dynamic["phi0"]               # (S,) f64 rad
-    delays = sat_dynamic["delays"]           # (S, n_ms+1) f64 seconds
-    t_offset = sat_dynamic["t_offset"]       # scalar f64: t_rx0 - t_bits0
+    fc = np.asarray([s.effective_code_freq(config) for s in sats])[:, None]
+    d = np.asarray([s.delay_samples for s in sats])[:, None]
+    chips0 = fc * (m - d) / fs
+    chip_slope = np.broadcast_to(fc / fs, chips0.shape)
 
-    k_local = jnp.arange(spms, dtype=jnp.float64)
+    fcar = np.asarray([config.intermediate_freq + s.doppler_hz for s in sats])[:, None]
+    phi0 = np.asarray([s.phase0 for s in sats])[:, None]
+    cyc0 = fcar * m / fs + phi0 / (2.0 * np.pi)
+    cyc_slope = np.broadcast_to(fcar / fs, cyc0.shape)
 
-    def one_sat_chunk(code, bits, a, p0, d0, d1, t0):
-        t = t0 + k_local / fs                       # receiver time since capture
-        tau = d0 + (d1 - d0) * (k_local / spms)
-        t_tx = t_offset + t - tau                   # transmit time since bit 0
-        chips = fc * t_tx
-        chip_idx = jnp.floor(chips).astype(jnp.int64)
-        code_val = code[(chip_idx % 1023).astype(jnp.int32)]
-        bit_idx = jnp.floor_divide(chip_idx, 1023 * _BITS_PER_PERIOD)
-        bit_val = bits[jnp.clip(bit_idx, 0, n_bits - 1).astype(jnp.int32)]
-        # carrier phase in cycles, reduced mod 1 before the sin for accuracy
-        cycles = f_if * t - f_l1 * tau + p0 / (2.0 * jnp.pi)
-        ang = 2.0 * jnp.pi * (cycles - jnp.floor(cycles))
-        carrier = jnp.sin(ang).astype(jnp.float32)
-        return a * code_val * bit_val * carrier
-
-    def chunk_step(carry_key, ms):
-        t0 = ms.astype(jnp.float64) * (spms / fs)
-        per_sat = jax.vmap(one_sat_chunk, in_axes=(0, 0, 0, 0, 0, 0, None))(
-            codes, bit_table, amp, phi0, delays[:, ms], delays[:, ms + 1], t0)
-        x = per_sat.sum(axis=0)
-        key, sub = jax.random.split(carry_key)
-        if noise_std > 0.0:
-            x = x + noise_std * jax.random.normal(sub, (spms,), jnp.float32)
-        q = jnp.clip(jnp.round(x), -128, 127).astype(jnp.int8)
-        return key, q
-
-    _, out = jax.lax.scan(chunk_step, noise_key, jnp.arange(n_ms, dtype=jnp.int64))
-    return out.reshape(-1)
+    params = _build_params(config, n_ms, chips0, chip_slope, cyc0, cyc_slope,
+                           [_nav_bit_array(s) for s in sats], wrap_bits=True)
+    amps = np.asarray([s.amplitude for s in sats], np.float32)
+    return _run_synth(config, [s.prn for s in sats], params, amps,
+                      n_ms, noise_std, seed)
 
 
 def synthesize_dynamic(config: ReceiverConfig, prns: list[int],
@@ -212,7 +252,10 @@ def synthesize_dynamic(config: ReceiverConfig, prns: list[int],
                        noise_std: float = 0.0, seed: int = 0) -> np.ndarray:
     """Geometry-consistent IF capture with per-ms time-varying delays.
 
-    ``delays_s``: (S, >= n_ms+1) light times (s) at each ms boundary;
+    ``delays_s``: (S, >= n_ms+1) light times (s) at each ms boundary,
+    linearly interpolated within the ms (curvature error over 1 ms is
+    ~1e-7 samples for GPS dynamics — code and carrier phase stay
+    continuous and geometry-consistent across the capture);
     ``bit_streams``: (S, n_bits) +/-1 transmitted nav bits, bit 0 starting
     at transmit time 0; ``t_rx0_minus_bits0``: receiver capture start minus
     bit-stream start, in GPS seconds.  Used by the golden-scenario builder
@@ -227,16 +270,28 @@ def synthesize_dynamic(config: ReceiverConfig, prns: list[int],
     bit_streams = np.asarray(bit_streams, np.float32)
     if not np.all(np.abs(bit_streams) == 1):
         raise ValueError("bit_streams must be +/-1")
-    sat_dynamic = {
-        "bits": jnp.asarray(bit_streams),
-        "amp": jnp.asarray(amplitudes if amplitudes is not None else np.ones(s), jnp.float32),
-        "phi0": jnp.asarray(phase0 if phase0 is not None else np.zeros(s), jnp.float64),
-        "delays": jnp.asarray(delays_s[:, :n_ms + 1]),
-        "t_offset": jnp.float64(t_rx0_minus_bits0),
-    }
-    out = _synth_dynamic_chunks(config, tuple(int(p) for p in prns), int(n_ms),
-                                sat_dynamic, jax.random.PRNGKey(seed), float(noise_std))
-    return np.asarray(jax.device_get(out))
+
+    fs = config.sampling_freq
+    spms = config.samples_per_code
+    fc = config.code_freq_basis
+    f_if = config.intermediate_freq
+    f_l1 = config.l1_freq
+    t0 = np.arange(n_ms, dtype=np.float64)[None, :] * (spms / fs)
+    tau0 = delays_s[:, :n_ms]
+    dtau = (delays_s[:, 1:n_ms + 1] - tau0) / spms              # s per sample
+
+    chips0 = fc * (t_rx0_minus_bits0 + t0 - tau0)
+    chip_slope = fc * (1.0 / fs - dtau)
+
+    phi0 = (np.zeros(s) if phase0 is None else np.asarray(phase0))[:, None]
+    cyc0 = f_if * t0 - f_l1 * tau0 + phi0 / (2.0 * np.pi)
+    cyc_slope = f_if / fs - f_l1 * dtau
+
+    params = _build_params(config, n_ms, chips0, chip_slope, cyc0, cyc_slope,
+                           [b for b in bit_streams], wrap_bits=False)
+    amps = (np.ones(s, np.float32) if amplitudes is None
+            else np.asarray(amplitudes, np.float32))
+    return _run_synth(config, prns, params, amps, n_ms, noise_std, seed)
 
 
 def default_scenario(config: ReceiverConfig, num_sats: int = 4, noise_std: float = 2.0,
