@@ -226,8 +226,15 @@ def post_navigate(config: ReceiverConfig, track) -> tuple[NavSolutions | None, l
     base_mask = np.zeros(c_ch, bool)
     base_mask[active] = True
 
-    # per-channel travel times (ms units) at every epoch's measurement point
-    absolute_sample = np.asarray(track.absolute_sample)
+    # per-channel travel times (ms units) at every epoch's measurement point.
+    # The integer sample counter quantizes pseudoranges at c/fs meters (the
+    # reference's fid.tell() resolution, tracking.py:255); when the tracker
+    # provides the sub-sample boundary fraction (sample_frac, from the Q40
+    # code NCO), subtract it for code-phase-exact pseudoranges.
+    absolute_sample = np.asarray(track.absolute_sample, np.float64)
+    frac = getattr(track, "sample_frac", None)
+    if frac is not None:
+        absolute_sample = absolute_sample - np.asarray(frac)
     travel = np.full((c_ch, n_epochs), np.inf)
     for ch in active:
         ms_idx = first_subframe[ch] + period * np.arange(n_epochs)

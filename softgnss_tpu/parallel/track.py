@@ -70,6 +70,7 @@ def _results_from_ys(channels: Channels, ys: MsOutputs, n_channels: int) -> Trac
         prn=np.asarray(channels.prn)[:n_channels],
         status=list(channels.status)[:n_channels],
         absolute_sample=get(ys.absolute_sample),
+        sample_frac=get(ys.sample_frac),
         code_freq=get(ys.code_freq), carr_freq=get(ys.carr_freq),
         i_p=get(ys.i_p), i_e=get(ys.i_e), i_l=get(ys.i_l),
         q_e=get(ys.q_e), q_p=get(ys.q_p), q_l=get(ys.q_l),
@@ -108,7 +109,7 @@ def _track_channels_sharded(config: ReceiverConfig, mesh: Mesh, n_ms: int,
         in_specs=(P(), _table_specs(tables, ch_axis), P(ch_axis), P(ch_axis),
                   jax.tree.map(lambda _: P(ch_axis), state0,
                                is_leaf=lambda x: x is not state0)),
-        out_specs=jax.tree.map(lambda _: P(None, ch_axis), MsOutputs(*[0] * 13),
+        out_specs=jax.tree.map(lambda _: P(None, ch_axis), MsOutputs(*[0] * 14),
                                is_leaf=lambda x: not isinstance(x, MsOutputs)),
     )
     return shard(signal, tables, carr_basis, active, state0)
@@ -228,7 +229,7 @@ def _track_time_sharded(config: ReceiverConfig, mesh: Mesh, block_ms: int,
         in_specs=(P(t_axis), P(), _table_specs(tables, ch_axis), P(ch_axis),
                   P(ch_axis), state_specs),
         out_specs=jax.tree.map(lambda _: P(t_axis, None, ch_axis),
-                               MsOutputs(*[0] * 13),
+                               MsOutputs(*[0] * 14),
                                is_leaf=lambda x: not isinstance(x, MsOutputs)),
     )
     return shard(signal_blocks, tail, tables, carr_basis, active, states0)

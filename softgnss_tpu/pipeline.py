@@ -101,7 +101,7 @@ def save_tracking(path: str, tracking: TrackResults) -> None:
     np.savez_compressed(
         path, prn=tracking.prn, status=np.asarray(tracking.status),
         **{k: getattr(tracking, k) for k in (
-            "absolute_sample", "code_freq", "carr_freq", "i_p", "i_e", "i_l",
+            "absolute_sample", "sample_frac", "code_freq", "carr_freq", "i_p", "i_e", "i_l",
             "q_e", "q_p", "q_l", "dll_discr", "dll_discr_filt", "pll_discr",
             "pll_discr_filt")},
         **state)
@@ -118,7 +118,7 @@ def load_tracking(path: str) -> TrackResults:
         prn=data["prn"], status=[str(s) for s in data["status"]],
         final_state=state,
         **{k: data[k] for k in (
-            "absolute_sample", "code_freq", "carr_freq", "i_p", "i_e", "i_l",
+            "absolute_sample", "sample_frac", "code_freq", "carr_freq", "i_p", "i_e", "i_l",
             "q_e", "q_p", "q_l", "dll_discr", "dll_discr_filt", "pll_discr",
             "pll_discr_filt")})
 

@@ -66,9 +66,16 @@ class TrackState(NamedTuple):
 
 
 class MsOutputs(NamedTuple):
-    """Per-ms logged observables (reference: tracking.py:253-275)."""
+    """Per-ms logged observables (reference: tracking.py:253-275), plus
+    ``sample_frac``: the sub-sample fraction of the code-period boundary.
+    The reference's pseudoranges quantize at the integer fid.tell() sample
+    counter (c/fs meters, tracking.py:255); the Q40 code NCO knows the
+    boundary exactly — it crossed 1023 chips ``rem/step`` samples before
+    ``absolute_sample`` — so ``absolute_sample - sample_frac`` is the
+    boundary arrival to sub-millimeter code-phase resolution."""
 
     absolute_sample: jnp.ndarray  # i64
+    sample_frac: jnp.ndarray      # f64 in [0, 1)
     code_freq: jnp.ndarray        # f64
     carr_freq: jnp.ndarray        # f64
     i_p: jnp.ndarray              # f32
@@ -90,6 +97,7 @@ class TrackResults:
     prn: np.ndarray
     status: list[str]
     absolute_sample: np.ndarray
+    sample_frac: np.ndarray
     code_freq: np.ndarray
     carr_freq: np.ndarray
     i_p: np.ndarray
@@ -256,8 +264,10 @@ def _filters_and_outputs(config: ReceiverConfig, carr_basis, active, st,
 
     z32 = jnp.float32(0.0)
     z64 = jnp.float64(0.0)
+    frac = new.code_rem_q.astype(jnp.float64) / step_q.astype(jnp.float64)
     outs = MsOutputs(
         absolute_sample=jnp.where(active, new.ptr, jnp.int64(0)),
+        sample_frac=jnp.where(active, frac, z64),
         code_freq=jnp.where(active, code_freq, z64),
         carr_freq=jnp.where(active, carr_freq, z64),
         i_p=jnp.where(active, i_p, z32),
@@ -364,6 +374,7 @@ def track(config: ReceiverConfig, signal: np.ndarray, channels: Channels,
         prn=np.asarray(channels.prn),
         status=list(channels.status),
         absolute_sample=np.asarray(ys.absolute_sample).T,
+        sample_frac=np.asarray(ys.sample_frac).T,
         code_freq=np.asarray(ys.code_freq).T,
         carr_freq=np.asarray(ys.carr_freq).T,
         i_p=np.asarray(ys.i_p).T,

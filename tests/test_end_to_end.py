@@ -6,10 +6,11 @@ receiver (acquire -> track -> navigate) and checks the PVT solution
 against the injected receiver position.  This is the framework's
 "minimum end-to-end slice" milestone test (SURVEY.md §7 step 5).
 
-Position error budget at the fast config (fs = 4.096 MHz): the tracked
-``absolute_sample`` counters are integers, so each epoch's pseudoranges
-quantize at c/fs ~ 73 m per satellite, diluted by geometry — expect tens
-of meters of scatter per epoch and a small mean error.
+Position error budget at the fast config (fs = 4.096 MHz): pseudoranges
+use the Q40 code NCO's sub-sample boundary fraction (nav/solve.py), so
+the c/fs = 73 m integer-sample quantization of the reference's fid.tell()
+counters drops out and the fix is DLL-noise-limited (a few meters,
+chip length 293 m x tracking jitter ~1e-2 chip, diluted by geometry).
 """
 
 import numpy as np
@@ -71,9 +72,9 @@ class TestEndToEnd:
         assert ok.sum() >= 0.9 * sol.n_epochs
         err = np.sqrt((sol.x[ok] - rx[0]) ** 2 + (sol.y[ok] - rx[1]) ** 2
                       + (sol.z[ok] - rx[2]) ** 2)
-        # sample-quantized pseudoranges (c/fs ~ 73 m) x DOP
-        assert np.median(err) < 250.0
-        assert np.mean(err) < 300.0
+        # DLL-jitter-limited (measured ~5 m median at this seed/noise)
+        assert np.median(err) < 30.0
+        assert np.mean(err) < 40.0
         # height/lat/lon sanity vs injected 47N 8.5E 500m
         assert np.nanmedian(np.abs(sol.latitude - 47.0)) < 0.01
         assert np.nanmedian(np.abs(sol.longitude - 8.5)) < 0.01
@@ -104,4 +105,4 @@ class TestEndToEnd:
         assert ok.sum() >= 0.9 * sol.n_epochs
         err = np.sqrt((sol.x[ok] - rx[0]) ** 2 + (sol.y[ok] - rx[1]) ** 2
                       + (sol.z[ok] - rx[2]) ** 2)
-        assert np.median(err) < 300.0
+        assert np.median(err) < 60.0
