@@ -73,6 +73,10 @@ def main(argv=None) -> int:
                         help="render acquisition/tracking/navigation dashboards")
     parser.add_argument("--plot-dir", default=".", help="directory for saved plots")
     parser.add_argument("--checkpoint", help="tracking checkpoint .npz path")
+    parser.add_argument("--mesh", metavar="TIMExCHANNEL",
+                        help="distribute over a device mesh, e.g. '1x8' or '2x4'")
+    parser.add_argument("--shard", choices=["channel", "time"], default="channel",
+                        help="tracking sharding strategy when --mesh is set")
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
@@ -114,9 +118,15 @@ def main(argv=None) -> int:
             print(f"Probe plot saved to {path}")
         return 0
 
+    mesh = None
+    if args.mesh:
+        from softgnss_tpu.parallel import make_mesh
+        n_t, n_c = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh({config.time_axis: n_t, config.channel_axis: n_c})
+
     results = run_receiver(config, signal=signal, file_name=args.file or None,
                            probe=args.probe, navigate=not args.no_nav,
-                           checkpoint=args.checkpoint)
+                           checkpoint=args.checkpoint, mesh=mesh, shard=args.shard)
     print(results.summary())
 
     if args.synthetic and results.has_fix:

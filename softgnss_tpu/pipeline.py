@@ -127,7 +127,8 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
                  file_name: str | None = None, n_ms: int | None = None,
                  probe: bool = False, navigate: bool = True,
                  checkpoint: str | None = None,
-                 channels: Channels | None = None) -> ReceiverResults:
+                 channels: Channels | None = None,
+                 mesh=None, shard: str = "channel") -> ReceiverResults:
     """Run the full receiver chain.
 
     ``signal``: in-memory int8 capture (absolute sample indexing including
@@ -137,6 +138,11 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
     otherwise.  ``channels``: pre-assigned tracking channels — skips the
     acquisition stage (also honored when ``config.skip_acquisition`` is
     set, the reference's skipAcquisition flag, initialize.py:117).
+
+    ``mesh``: a jax.sharding.Mesh (softgnss_tpu.parallel.receiver_mesh)
+    to distribute the run: acquisition shards its PRN axis, tracking
+    shards per ``shard`` — 'channel' (exact data-parallel) or 'time'
+    (sequence-parallel blocks with warm-up re-lock).
     """
     import os
 
@@ -168,7 +174,13 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
         if len(signal) < skip + acq_need:
             raise ValueError(f"capture too short for acquisition: need "
                              f"{skip + acq_need} samples, got {len(signal)}")
-        results.acquisition = acquire(config, signal[skip: skip + acq_need])
+        if mesh is not None:
+            from softgnss_tpu.parallel import acquire_sharded
+
+            results.acquisition = acquire_sharded(
+                config, signal[skip: skip + acq_need], mesh)
+        else:
+            results.acquisition = acquire(config, signal[skip: skip + acq_need])
         results.timings_s["acquire"] = time.monotonic() - t0
 
         if not results.acquisition.acquired.any():
@@ -181,6 +193,16 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
     if checkpoint is not None and os.path.exists(checkpoint):
         logger.info("Loading tracking checkpoint %s", checkpoint)
         results.tracking = load_tracking(checkpoint)
+    elif mesh is not None:
+        from softgnss_tpu.parallel import track_channels_sharded, track_time_sharded
+
+        track_fn = {"channel": track_channels_sharded,
+                    "time": track_time_sharded}.get(shard)
+        if track_fn is None:
+            raise ValueError(f"shard must be 'channel' or 'time', got {shard!r}")
+        results.tracking = track_fn(config, signal, results.channels, mesh, n_ms=n_ms)
+        if checkpoint is not None:
+            save_tracking(checkpoint, results.tracking)
     else:
         results.tracking = track(config, signal, results.channels, n_ms=n_ms)
         if checkpoint is not None:

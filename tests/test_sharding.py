@@ -134,6 +134,28 @@ class TestTimeShardedTracking:
             track_time_sharded(cfg, signal, channels, mesh, n_ms=333)
 
 
+class TestShardedPipeline:
+    def test_run_receiver_with_mesh(self, cfg, capture):
+        """mesh= distributes acquisition (PRN axis) and tracking (channel
+        or time axis) through the public pipeline."""
+        from softgnss_tpu.pipeline import run_receiver
+
+        _, signal, _ = capture
+        mesh = receiver_mesh(cfg, n_time=2, n_channel=4)
+        base = run_receiver(cfg, signal=signal, n_ms=300, navigate=False)
+        ch_sh = run_receiver(cfg, signal=signal, n_ms=300, navigate=False,
+                             mesh=mesh, shard="channel")
+        np.testing.assert_array_equal(ch_sh.tracking.i_p, base.tracking.i_p)
+        np.testing.assert_array_equal(ch_sh.acquisition.code_phase,
+                                      base.acquisition.code_phase)
+        t_sh = run_receiver(cfg, signal=signal, n_ms=300, navigate=False,
+                            mesh=mesh, shard="time")
+        assert t_sh.tracking.i_p.shape == base.tracking.i_p.shape
+        with pytest.raises(ValueError, match="shard"):
+            run_receiver(cfg, signal=signal, n_ms=300, navigate=False,
+                         mesh=mesh, shard="bogus")
+
+
 class TestPropagatedState:
     def test_propagated_code_phase_near_truth(self, cfg, capture):
         """The analytic code-phase propagation lands within a chip of the
