@@ -121,8 +121,16 @@ def main(argv=None) -> int:
     mesh = None
     if args.mesh:
         from softgnss_tpu.parallel import make_mesh
-        n_t, n_c = (int(v) for v in args.mesh.lower().split("x"))
-        mesh = make_mesh({config.time_axis: n_t, config.channel_axis: n_c})
+        try:
+            n_t, n_c = (int(v) for v in args.mesh.lower().split("x"))
+        except ValueError:
+            parser.error(f"--mesh expects TIMExCHANNEL (e.g. 2x4), got {args.mesh!r}")
+        try:
+            mesh = make_mesh({config.time_axis: n_t, config.channel_axis: n_c})
+        except ValueError as exc:
+            parser.error(f"{exc} (hint: XLA_FLAGS="
+                         "--xla_force_host_platform_device_count=N adds virtual "
+                         "CPU devices)")
 
     results = run_receiver(config, signal=signal, file_name=args.file or None,
                            probe=args.probe, navigate=not args.no_nav,

@@ -101,16 +101,18 @@ def _track_channels_sharded(config: ReceiverConfig, mesh: Mesh, n_ms: int,
         def step(state, _):
             return step_fn(tables_l, carr_basis_l, active_l, state)
 
-        _, ys = jax.lax.scan(step, state_l, None, length=n_ms)
-        return ys
+        final, ys = jax.lax.scan(step, state_l, None, length=n_ms)
+        return final, ys
 
+    state_spec = jax.tree.map(lambda _: P(ch_axis), state0,
+                              is_leaf=lambda x: x is not state0)
     shard = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), _table_specs(tables, ch_axis), P(ch_axis), P(ch_axis),
-                  jax.tree.map(lambda _: P(ch_axis), state0,
-                               is_leaf=lambda x: x is not state0)),
-        out_specs=jax.tree.map(lambda _: P(None, ch_axis), MsOutputs(*[0] * 14),
-                               is_leaf=lambda x: not isinstance(x, MsOutputs)),
+                  state_spec),
+        out_specs=(state_spec,
+                   jax.tree.map(lambda _: P(None, ch_axis), MsOutputs(*[0] * 14),
+                                is_leaf=lambda x: not isinstance(x, MsOutputs))),
     )
     return shard(signal, tables, carr_basis, active, state0)
 
@@ -127,11 +129,14 @@ def track_channels_sharded(config: ReceiverConfig, signal: np.ndarray,
     padded = _pad_channels(config, channels, n_shards)
     tables, carr_basis, active = _track_inputs(config, padded)
     state0 = initial_state(config, padded)
-    ys = _track_channels_sharded(
+    final, ys = _track_channels_sharded(
         config, mesh, n_ms, jnp.asarray(signal), jax.tree.map(jnp.asarray, tables),
         jnp.asarray(carr_basis), jnp.asarray(active), state0)
     ys = jax.device_get(ys)
-    return _results_from_ys(padded, ys, n_channels)
+    res = _results_from_ys(padded, ys, n_channels)
+    res.final_state = jax.tree.map(
+        lambda x: np.asarray(x)[:n_channels], jax.device_get(final))
+    return res
 
 
 # --------------------------------------------------------------------------
@@ -219,8 +224,10 @@ def _track_time_sharded(config: ReceiverConfig, mesh: Mesh, block_ms: int,
                 absolute_sample=jnp.where(act, outs.absolute_sample + base, 0))
             return new, outs
 
-        _, ys = jax.lax.scan(step, state_l, jnp.arange(total_steps))
-        return jax.tree.map(lambda x: x[None], ys)        # add unit time dim
+        final, ys = jax.lax.scan(step, state_l, jnp.arange(total_steps))
+        final = final._replace(ptr=final.ptr + base)      # back to global samples
+        final = jax.tree.map(lambda x: x[None], final)    # add unit time dim
+        return final, jax.tree.map(lambda x: x[None], ys)
 
     state_specs = jax.tree.map(lambda _: P(t_axis, ch_axis), states0,
                                is_leaf=lambda x: x is not states0)
@@ -228,9 +235,10 @@ def _track_time_sharded(config: ReceiverConfig, mesh: Mesh, block_ms: int,
         shard_fn, mesh=mesh,
         in_specs=(P(t_axis), P(), _table_specs(tables, ch_axis), P(ch_axis),
                   P(ch_axis), state_specs),
-        out_specs=jax.tree.map(lambda _: P(t_axis, None, ch_axis),
-                               MsOutputs(*[0] * 14),
-                               is_leaf=lambda x: not isinstance(x, MsOutputs)),
+        out_specs=(state_specs,
+                   jax.tree.map(lambda _: P(t_axis, None, ch_axis),
+                                MsOutputs(*[0] * 14),
+                                is_leaf=lambda x: not isinstance(x, MsOutputs))),
     )
     return shard(signal_blocks, tail, tables, carr_basis, active, states0)
 
@@ -271,7 +279,7 @@ def track_time_sharded(config: ReceiverConfig, signal: np.ndarray,
     body = np.ascontiguousarray(signal[skip: skip + n_ms * spc])
     tail = np.ascontiguousarray(signal[skip + n_ms * spc: skip + (n_ms + 2) * spc])
 
-    ys = _track_time_sharded(
+    finals, ys = _track_time_sharded(
         config, mesh, block_ms, warmup, jnp.asarray(body), jnp.asarray(tail),
         jax.tree.map(jnp.asarray, tables), jnp.asarray(carr_basis),
         jnp.asarray(active), states0)
@@ -307,4 +315,8 @@ def track_time_sharded(config: ReceiverConfig, signal: np.ndarray,
     signed_fields = {"i_p", "q_p", "i_e", "q_e", "i_l", "q_l"}
     ys = MsOutputs(*[stitch(leaf, name in signed_fields)
                      for name, leaf in zip(MsOutputs._fields, ys)])
-    return _results_from_ys(padded, ys, n_channels)
+    res = _results_from_ys(padded, ys, n_channels)
+    # the last block's final scan state is the end-of-capture loop state
+    res.final_state = jax.tree.map(
+        lambda x: np.asarray(x)[-1, :n_channels], jax.device_get(finals))
+    return res

@@ -146,6 +146,8 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
     """
     import os
 
+    if shard not in ("channel", "time"):
+        raise ValueError(f"shard must be 'channel' or 'time', got {shard!r}")
     results = ReceiverResults(config=config)
     if signal is None:
         if not (file_name or config.file_name):
@@ -193,18 +195,16 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
     if checkpoint is not None and os.path.exists(checkpoint):
         logger.info("Loading tracking checkpoint %s", checkpoint)
         results.tracking = load_tracking(checkpoint)
-    elif mesh is not None:
-        from softgnss_tpu.parallel import track_channels_sharded, track_time_sharded
-
-        track_fn = {"channel": track_channels_sharded,
-                    "time": track_time_sharded}.get(shard)
-        if track_fn is None:
-            raise ValueError(f"shard must be 'channel' or 'time', got {shard!r}")
-        results.tracking = track_fn(config, signal, results.channels, mesh, n_ms=n_ms)
-        if checkpoint is not None:
-            save_tracking(checkpoint, results.tracking)
     else:
-        results.tracking = track(config, signal, results.channels, n_ms=n_ms)
+        if mesh is not None:
+            from softgnss_tpu.parallel import track_channels_sharded, track_time_sharded
+
+            track_fn = {"channel": track_channels_sharded,
+                        "time": track_time_sharded}[shard]
+            results.tracking = track_fn(config, signal, results.channels, mesh,
+                                        n_ms=n_ms)
+        else:
+            results.tracking = track(config, signal, results.channels, n_ms=n_ms)
         if checkpoint is not None:
             save_tracking(checkpoint, results.tracking)
     results.timings_s["track"] = time.monotonic() - t0

@@ -82,6 +82,10 @@ class TestChannelShardedTracking:
         np.testing.assert_array_equal(sh.i_p, ref.i_p)
         np.testing.assert_array_equal(sh.carr_freq, ref.carr_freq)
         assert sh.status == ref.status
+        # final loop state survives sharding (mesh checkpoints stay resumable)
+        assert sh.final_state is not None
+        np.testing.assert_array_equal(np.asarray(sh.final_state.ptr),
+                                      np.asarray(ref.final_state.ptr))
 
     def test_channel_padding(self, cfg, capture):
         """3 active channels over 8 shards (pad to 8)."""
@@ -102,6 +106,9 @@ class TestTimeShardedTracking:
         assert sh.i_p.shape == ref.i_p.shape
 
         active = [c for c in range(len(channels)) if channels.status[c] == "T"]
+        assert sh.final_state is not None
+        assert np.max(np.abs(np.asarray(sh.final_state.ptr)[active]
+                             - np.asarray(ref.final_state.ptr)[active])) <= 1
         for c in active:
             # period numbering identical: sample counters within 1 sample
             assert np.max(np.abs(sh.absolute_sample[c] - ref.absolute_sample[c])) <= 1
