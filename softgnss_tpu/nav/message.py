@@ -188,6 +188,13 @@ def encode_subframe_source(subframe_id: int, tow_count_next: int,
                 if name in _ANGLE_FIELDS:
                     value = (value + GPS_PI) % (2.0 * GPS_PI) - GPS_PI
                 raw = int(round(value / scale))
+                if name in _ANGLE_FIELDS:
+                    # semicircles wrap: +pi and -pi share the code point, so
+                    # an angle within half an LSB below +pi must wrap to
+                    # -2^(n-1) rather than overflow the signed field
+                    total_bits = sum(nb for _, nb in slices)
+                    half = 1 << (total_bits - 1)
+                    raw = (raw + half) % (1 << total_bits) - half
             total = sum(n for _, n in slices)
             field_bits = _int_to_bits(raw, total) if signed else _uint_to_bits(raw, total)
             k = 0

@@ -119,8 +119,15 @@ def satellite_positions(transmit_time, ephs_or_packed) -> tuple[np.ndarray, np.n
     (S, len(ORBIT_FIELDS)) array.  Returned layout matches the reference's
     satpos (geoFunctions:779-885): one column per satellite.
     """
+    from softgnss_tpu.nav.hostctx import host_context
+
     packed = ephs_or_packed
     if not isinstance(packed, (np.ndarray, jnp.ndarray)):
         packed = pack_ephemerides(packed)
-    pos, clk = _satpos_batch(jnp.float64(transmit_time), jnp.asarray(packed, jnp.float64))
-    return np.asarray(pos).T, np.asarray(clk)
+    # host backend: accelerators emulate f64 at ~1e-7 effective precision,
+    # meters of error at orbit radius (jitted internals stay device-agnostic
+    # for in-graph use by the epoch scan)
+    with host_context():
+        pos, clk = _satpos_batch(jnp.float64(transmit_time),
+                                 jnp.asarray(packed, jnp.float64))
+        return np.asarray(pos).T, np.asarray(clk)

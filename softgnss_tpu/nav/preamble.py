@@ -77,16 +77,12 @@ def find_preambles(i_p: np.ndarray, status: list[str],
     if not tracked:
         return first_subframe, np.asarray([], np.int64)
 
-    import contextlib
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        cpu = None
+    from softgnss_tpu.nav.hostctx import host_context
+
     signs = np.where(i_p[:, search_start_offset:] > 0, 1, -1)
     # host backend: a (C, n_ms) correlation is microseconds of work; TPU
     # dispatch + compile would dominate
-    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
-    with ctx:
+    with host_context():
         xcorr = np.asarray(_preamble_correlation(jnp.asarray(signs)))
 
     active = []

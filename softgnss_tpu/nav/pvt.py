@@ -85,7 +85,10 @@ def solve_epoch(sat_pos, obs, mask, use_trop: bool):
             rho = jnp.linalg.norm(sat_pos - pos[:3], axis=-1)
             travel = rho / SPEED_OF_LIGHT
             rot_x = e_r_corr(travel, sat_pos)
-            az, el, _ = topocent(jnp.broadcast_to(pos[:3], (s, 3)), rot_x - pos[:3])
+            # origin is the single receiver position: broadcasting it into
+            # topocent would redo the 10-iteration togeod solve per
+            # satellite; batching only the delta keeps one geodetic solve
+            az, el, _ = topocent(pos[:3], rot_x - pos[:3])
             if use_trop:
                 trop = tropo(jnp.sin(jnp.deg2rad(el)))
             else:
@@ -128,6 +131,9 @@ def solve_epoch(sat_pos, obs, mask, use_trop: bool):
     return pos, el, az, dop
 
 
+_solve_jit = jax.jit(solve_epoch, static_argnums=(3,))
+
+
 def least_squares_pos(sat_pos, obs, mask=None, use_trop: bool = True):
     """Receiver position/clock from satellite positions + pseudoranges.
 
@@ -141,6 +147,11 @@ def least_squares_pos(sat_pos, obs, mask=None, use_trop: bool = True):
     obs = np.asarray(obs, np.float64)
     if mask is None:
         mask = np.ones(len(obs), bool)
-    solve = jax.jit(partial(solve_epoch, use_trop=bool(use_trop)))
-    pos, el, az, dop = solve(jnp.asarray(sat_pos), jnp.asarray(obs), jnp.asarray(mask))
+    from softgnss_tpu.nav.hostctx import host_context
+
+    # host backend + cached module-level jit: a fresh jit(partial(...)) per
+    # call would retrace the 7-iteration solver every invocation
+    with host_context():
+        pos, el, az, dop = _solve_jit(jnp.asarray(sat_pos), jnp.asarray(obs),
+                                      jnp.asarray(mask), bool(use_trop))
     return (np.asarray(pos), np.asarray(el), np.asarray(az), np.asarray(dop))

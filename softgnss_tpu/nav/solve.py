@@ -40,27 +40,13 @@ from softgnss_tpu.config import ReceiverConfig
 from softgnss_tpu.nav.geodesy import cart2geo, cart2utm, find_utm_zone
 from softgnss_tpu.nav.message import Ephemeris, decode_ephemeris
 from softgnss_tpu.nav.orbit import _satpos_one, pack_ephemerides
+from softgnss_tpu.nav.hostctx import host_context
 from softgnss_tpu.nav.preamble import find_preambles
 from softgnss_tpu.nav.pvt import solve_epoch
 
 logger = logging.getLogger(__name__)
 
 _MS_PER_BIT = 20
-
-
-def _host_device():
-    """CPU device for the navigation stage, or None.
-
-    Navigation is cold-path float64 math (geodesy tolerances ~1e-12,
-    SURVEY.md hard part 4-5) on tiny arrays; TPUs emulate f64 ~50x slower
-    than host CPUs here, so the device->host boundary sits at the per-ms
-    tracking observables and everything downstream runs on the host
-    backend.
-    """
-    try:
-        return jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        return None
 
 _FRAME_BITS = 1500
 #: minimum capture for a solution: 5 subframes + sync margin
@@ -246,25 +232,22 @@ def post_navigate(config: ReceiverConfig, track) -> tuple[NavSolutions | None, l
 
     transmit_times = tow_common + period / 1000.0 * np.arange(n_epochs)
 
-    import contextlib
-    cpu = _host_device()
-    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
-    with ctx:
+    with host_context():
         outs = _epoch_scan(config, bool(config.use_trop_corr),
                            jnp.asarray(packed), jnp.asarray(base_mask),
                            jnp.asarray(travel), jnp.asarray(transmit_times))
         (pos, dop, el, az, raw_p, corrected, lat, lon, hgt) = map(np.asarray, outs)
 
-    # --- UTM conversion (zone fixed from the first valid fix) --------------
-    valid = np.isfinite(lat)
-    if valid.any():
-        k = int(valid.nonzero()[0][0])
-        utm_zone = find_utm_zone(float(lat[k]), float(lon[k]))
-        e_utm, n_utm, u_utm = (np.asarray(v) for v in
-                               cart2utm(pos[:, 0], pos[:, 1], pos[:, 2], utm_zone))
-    else:
-        utm_zone = 0
-        e_utm = n_utm = u_utm = np.full(n_epochs, np.nan)
+        # --- UTM conversion (zone fixed from the first valid fix) ----------
+        valid = np.isfinite(lat)
+        if valid.any():
+            k = int(valid.nonzero()[0][0])
+            utm_zone = find_utm_zone(float(lat[k]), float(lon[k]))
+            e_utm, n_utm, u_utm = (np.asarray(v) for v in
+                                   cart2utm(pos[:, 0], pos[:, 1], pos[:, 2], utm_zone))
+        else:
+            utm_zone = 0
+            e_utm = n_utm = u_utm = np.full(n_epochs, np.nan)
 
     prn = np.zeros((c_ch, n_epochs), np.int64)
     prn[active] = np.asarray(track.prn)[active, None]

@@ -149,6 +149,18 @@ class TestMessageCodec:
         # first word: D30* chain starts at 0, so transmitted == source
         np.testing.assert_array_equal(stream01[:8], PREAMBLE_BITS)
 
+    def test_angle_at_positive_pi_edge_wraps(self):
+        """An angle within half an LSB below +pi must encode as the -pi code
+        point (semicircle wrap), not overflow the signed field."""
+        eph = self.make_eph()
+        eph.m_0 = GPS_PI * (1.0 - 2.0**-33)
+        eph.omega_0 = -GPS_PI
+        stream = build_nav_stream(eph, 70000, 5)
+        dec, _ = decode_ephemeris(stream, -1)
+        # +pi and -pi are the same angle; decoded value is -pi
+        assert abs(abs(dec.m_0) - GPS_PI) < 2.0**-30
+        assert dec.omega_0 == pytest.approx(-GPS_PI, abs=2.0**-30)
+
     def test_incomplete_frame_rejected(self):
         with pytest.raises(ValueError):
             decode_ephemeris(np.ones(1000), 1)
