@@ -159,10 +159,13 @@ def propagate_state(config: ReceiverConfig, channels: Channels,
     fc = config.code_freq_basis
     fc_eff = np.where(active, fc * (1.0 + (acq - config.intermediate_freq) / config.l1_freq), fc)
     spp = config.sampling_freq / (fc_eff / config.code_length)   # samples/period
-    target = float(start_ms) * config.samples_per_code
     phase0 = np.asarray(channels.code_phase, np.float64)
-    n_per = np.ceil((target - phase0) / spp)
-    ptr = config.skip_samples + np.rint(phase0 + n_per * spp).astype(np.int64)
+    # the sequential tracker completes exactly one code period per tracked
+    # millisecond, so the period INDEX at start_ms is start_ms itself —
+    # selecting the nearest boundary to a target sample instead would slip
+    # one period once cumulative code-Doppler drift exceeds the initial
+    # code phase, shifting that shard's outputs by a whole millisecond
+    ptr = config.skip_samples + np.rint(phase0 + start_ms * spp).astype(np.int64)
     return TrackState(
         ptr=jnp.asarray(ptr, jnp.int64),
         carr_phase=jnp.zeros(c, jnp.int32),
@@ -260,7 +263,13 @@ def track_time_sharded(config: ReceiverConfig, signal: np.ndarray,
     if n_ms % n_t:
         raise ValueError(f"n_ms={n_ms} not divisible by time shards={n_t}")
     block_ms = n_ms // n_t
-    warmup = min(config.time_shard_warmup_ms, block_ms)
+    if n_t > 1 and block_ms < 2:
+        raise ValueError(f"time blocks of {block_ms} ms cannot host a warm-up")
+    # warmup <= block_ms - 1 keeps the halo (warmup+1 periods) within the
+    # neighbor's block, and >= 1 keeps the polarity-reconciliation vote
+    # non-empty
+    warmup = int(np.clip(config.time_shard_warmup_ms, 1, block_ms - 1)) if n_t > 1 \
+        else int(np.clip(config.time_shard_warmup_ms, 1, block_ms))
     spc = config.samples_per_code
     skip = config.skip_samples
     needed = skip + (n_ms + 2) * spc
@@ -316,7 +325,14 @@ def track_time_sharded(config: ReceiverConfig, signal: np.ndarray,
     ys = MsOutputs(*[stitch(leaf, name in signed_fields)
                      for name, leaf in zip(MsOutputs._fields, ys)])
     res = _results_from_ys(padded, ys, n_channels)
-    # the last block's final scan state is the end-of-capture loop state
-    res.final_state = jax.tree.map(
-        lambda x: np.asarray(x)[-1, :n_channels], jax.device_get(finals))
+    # the last block's final scan state is the end-of-capture loop state.
+    # If that shard was stitched with a polarity flip, rotate its carrier
+    # phase by half a cycle so a resumed run continues with the SAME
+    # output polarity as the stitched streams (a global half-turn flips
+    # I/Q sign and is invisible to the atan discriminator).
+    final = jax.tree.map(lambda x: np.asarray(x)[-1, :n_channels],
+                         jax.device_get(finals))
+    half_turn = np.where(flips[-1][:n_channels] < 0, np.int64(1) << 31, 0)
+    ph = (final.carr_phase.astype(np.int64) + half_turn) & 0xFFFFFFFF
+    res.final_state = final._replace(carr_phase=ph.astype(np.uint32).view(np.int32))
     return res

@@ -131,7 +131,9 @@ def _build_params(config: ReceiverConfig, n_ms: int, chips0: np.ndarray,
 
     b_idx = c0 // _CHIPS_PER_BIT
     edge_chip = (b_idx + 1) * _CHIPS_PER_BIT
-    edge_q = np.minimum((edge_chip - c0), 1 << 20) * _QONE - frac0_q
+    # device-side chips_q is (chips_abs - c0) in Q40 (it already contains
+    # frac0_q), so the edge threshold is simply (edge_chip - c0) in Q40
+    edge_q = np.minimum(edge_chip - c0, 1 << 20) * _QONE
 
     s = chips0.shape[0]
     bit0 = np.empty(chips0.shape, np.float32)

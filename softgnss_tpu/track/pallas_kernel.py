@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from softgnss_tpu.config import ReceiverConfig
 from softgnss_tpu.signals.nco import CODE_FRAC_BITS, sin_turns
-from softgnss_tpu.track.tables import onehot_width
+from softgnss_tpu.track.tables import onehot_width, subdivision
 
 _OUT_LANES = 128  # padded output row per channel (first 6 lanes used)
 
@@ -145,11 +145,12 @@ def phase_decomposition(config: ReceiverConfig, code_rem_q, step_q, h_base):
     """
     tile = config.track_tile
     t_count = config.track_window // tile
-    two_step = step_q << 1                                   # half-chips Q40
+    s_div = subdivision(config)
+    two_step = step_q * s_div                                # sub-chips Q40
     t_idx = jnp.arange(t_count, dtype=jnp.int64)
-    # phase at tile starts, in half-chip Q40, with the ceil offset folded in:
-    # h(k) = ceil(x/2^40) = (x + 2^40 - 1) >> 40 with x = 2*tq
-    p = ((code_rem_q[:, None] << 1) + two_step[:, None] * (t_idx * tile)[None, :]
+    # phase at tile starts, in sub-chip Q40, with the ceil offset folded in:
+    # h(k) = ceil(x/2^40) = (x + 2^40 - 1) >> 40 with x = S*tq
+    p = ((code_rem_q[:, None] * s_div) + two_step[:, None] * (t_idx * tile)[None, :]
          + ((1 << CODE_FRAC_BITS) - 1))
     h_int = ((p >> CODE_FRAC_BITS) - h_base).astype(jnp.int32)
     frac24 = ((p & ((1 << CODE_FRAC_BITS) - 1)) >> 16).astype(jnp.int32)

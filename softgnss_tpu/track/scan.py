@@ -48,7 +48,12 @@ from softgnss_tpu.signals.nco import (
     chips_to_q,
     code_step_q,
 )
-from softgnss_tpu.track.tables import CorrelatorTables, build_tables, onehot_width
+from softgnss_tpu.track.tables import (
+    CorrelatorTables,
+    build_tables,
+    onehot_width,
+    subdivision,
+)
 
 
 class TrackState(NamedTuple):
@@ -165,10 +170,11 @@ def _correlate_onehot(config: ReceiverConfig, tables, tq, i_bb, q_bb):
     tile = config.track_tile
     t_count = config.track_window // tile
     w = onehot_width(config)
+    s_div = subdivision(config)
 
-    # ceil(2*tq) via the Q40 representation: (tq*2 + 1 - ulp ... integer
-    # ceil of x/2^40 with x = 2*tq_q
-    h = ((tq << 1) + (CODE_ONE - 1)) >> CODE_FRAC_BITS            # (W,) i64
+    # ceil(S*tq) via the Q40 representation: integer ceil of x/2^40 with
+    # x = S*tq_q (S static; x stays well inside int64)
+    h = ((tq * s_div) + (CODE_ONE - 1)) >> CODE_FRAC_BITS         # (W,) i64
     h_local = (h.reshape(t_count, tile) - tables.h_base[:, None]).astype(jnp.int32)
     iota_w = jnp.arange(w, dtype=jnp.int32)
     oh = (h_local[:, :, None] == iota_w[None, None, :]).astype(jnp.float32)
@@ -350,7 +356,10 @@ def track(config: ReceiverConfig, signal: np.ndarray, channels: Channels,
     reference's ``fid.tell()`` bookkeeping (tracking.py:107,255).
     """
     n_ms = int(config.ms_to_process if n_ms is None else n_ms)
-    needed = config.skip_samples + (n_ms + 2) * config.samples_per_code
+    # anchor the length check at the resume pointer, not the capture start
+    start = (config.skip_samples if state is None
+             else int(np.max(np.asarray(state.ptr))))
+    needed = start + (n_ms + 2) * config.samples_per_code
     if signal.shape[0] < needed:
         raise ValueError(
             f"capture too short for tracking: need >= {needed} samples, got {signal.shape[0]}"

@@ -7,11 +7,14 @@ The tracker instead contracts a *narrow one-hot* of the half-chip index
 against small per-tile code tables — pure elementwise + batched-matmul
 ops that XLA fuses and the MXU executes:
 
-* Half-chip index ``h = ceil(2 * tq)`` encodes all three correlator taps
-  at once: with integer h, ``ceil(tq) = (h+1)//2``, ``ceil(tq-1/2) =
-  h//2``, ``ceil(tq+1/2) = h//2 + 1`` — so one index stream drives
-  early/prompt/late through three precomputed half-chip code tables.
-* Within a ``track_tile``-sample tile, h spans only ~``2*tile*chips_per
+* Sub-chip index ``h = ceil(S * tq)`` encodes all three correlator taps
+  at once, where S = subdivision(config) is the smallest integer with
+  ``S * dll_correlator_spacing`` integral (S=2 for the standard 0.5-chip
+  spacing): with integer h and d = spacing*S,
+  ``ceil(tq + j/S) = (h + j + S - 1) // S`` exactly, so one index stream
+  drives early (j=-d), prompt (j=0), late (j=+d) through three
+  precomputed sub-chip code tables.
+* Within a ``track_tile``-sample tile, h spans only ~``S*tile*chips_per
   _sample`` values, and its offset from a *nominal* per-tile base (chip
   rate from acquisition Doppler) is bounded by the DLL pull-in range; so
   ``h_local = h - h_base(tile)`` fits in a static window of width
@@ -44,18 +47,36 @@ class CorrelatorTables(NamedTuple):
     h_base: np.ndarray
 
 
-#: margin half-chips above/below a tile's nominal span.  Bound: remainder
-#: phase contributes < 2*step (~0.05), the ceil/floor offsets < 2, and
-#: code-rate drift vs the table nominal < 2*(5 Hz/fs)*window (~0.01) — a
-#: +-2 offset with +5 width headroom covers all of it several times over.
+#: margin sub-chips above/below a tile's nominal span.  Bound: remainder
+#: phase contributes < S*step (tiny), the ceil/floor offsets < 2, and
+#: code-rate drift vs the table nominal < S*(5 Hz/fs)*window (~0.01*S) —
+#: a +-2 offset with +S+4 width headroom covers all of it several times
+#: over.
 _H_OFFSET = 2
-_H_MARGIN = 5
+
+
+def subdivision(config: ReceiverConfig) -> int:
+    """Chip subdivision S: smallest integer with S*spacing integral >= 1.
+
+    S=2 for the standard 0.5-chip early/late spacing; S=4 for 0.25-chip
+    narrow correlators, etc.  Raises for spacings with no small rational
+    subdivision (use correlator_impl='gather' for those).
+    """
+    d = config.dll_correlator_spacing
+    for s in range(2, 33):
+        ds = d * s
+        if abs(ds - round(ds)) < 1e-9 and round(ds) >= 1:
+            return s
+    raise ValueError(
+        f"dll_correlator_spacing={d} has no subdivision <= 32; use "
+        "correlator_impl='gather'")
 
 
 def onehot_width(config: ReceiverConfig) -> int:
-    """Static width of the tile-local half-chip window."""
-    per_tile = 2.0 * config.track_tile * config.code_freq_basis / config.sampling_freq
-    w = int(np.ceil(per_tile)) + _H_MARGIN
+    """Static width of the tile-local sub-chip window."""
+    s = subdivision(config)
+    per_tile = s * config.track_tile * config.code_freq_basis / config.sampling_freq
+    w = int(np.ceil(per_tile)) + s + 4
     return (w + 7) // 8 * 8
 
 
@@ -63,18 +84,20 @@ def n_tiles(config: ReceiverConfig) -> int:
     return config.track_window // config.track_tile
 
 
-def _half_chip_tables(code_pad: np.ndarray) -> np.ndarray:
-    """(n_half, 3) E/P/L code values indexed by half-chip index h.
+def _sub_chip_tables(code_pad: np.ndarray, s: int, ds: int) -> np.ndarray:
+    """(n_sub, 3) E/P/L code values indexed by sub-chip index h = ceil(S*tq).
 
-    code_pad is the 1025-chip padded code (pad[i] = chip i-1); entries are
-    E[h] = pad[h//2], P[h] = pad[(h+1)//2], L[h] = pad[h//2+1], clamped at
-    the table edges (out-of-range h only occurs on masked samples).
+    code_pad is the 1025-chip padded code (pad[i] = chip i-1); entries use
+    the exact identity ceil(tq + j/S) = (h + j + S - 1)//S:
+    E[h] = pad[(h - ds + s - 1)//s], P[h] = pad[(h + s - 1)//s],
+    L[h] = pad[(h + ds + s - 1)//s], clamped at the table edges
+    (out-of-range h only occurs on masked samples).
     """
-    n_half = 2 * 1023 + 32
-    h = np.arange(n_half)
-    e = code_pad[np.clip(h // 2, 0, 1024)]
-    p = code_pad[np.clip((h + 1) // 2, 0, 1024)]
-    late = code_pad[np.clip(h // 2 + 1, 0, 1024)]
+    n_sub = s * 1023 + 4 * s + 8
+    h = np.arange(n_sub)
+    e = code_pad[np.clip((h - ds + s - 1) // s, 0, 1024)]
+    p = code_pad[np.clip((h + s - 1) // s, 0, 1024)]
+    late = code_pad[np.clip((h + ds + s - 1) // s, 0, 1024)]
     return np.stack([e, p, late], axis=1).astype(np.float32)
 
 
@@ -91,6 +114,8 @@ def build_tables(config: ReceiverConfig, prns: np.ndarray,
     tile = config.track_tile
     t_count = n_tiles(config)
     w = onehot_width(config)
+    s_div = subdivision(config)
+    ds = int(round(config.dll_correlator_spacing * s_div))
 
     code_pads = np.zeros((c, 1025), np.float32)
     codes_static = np.zeros((c, t_count, w, 3), np.float32)
@@ -102,13 +127,13 @@ def build_tables(config: ReceiverConfig, prns: np.ndarray,
             continue
         pad = ca.padded_code(int(prns[i])).astype(np.float32)
         code_pads[i] = pad
-        half = _half_chip_tables(pad)                      # (n_half, 3)
+        sub = _sub_chip_tables(pad, s_div, ds)             # (n_sub, 3)
         doppler = (0.0 if acquired_freq is None
                    else acquired_freq[i] - config.intermediate_freq)
         fc_eff = config.code_freq_basis * (1.0 + doppler / config.l1_freq)
         s_chips = fc_eff / config.sampling_freq            # chips per sample
-        base = np.floor(2.0 * s_chips * tile * t_idx).astype(np.int64) - _H_OFFSET
+        base = np.floor(s_div * s_chips * tile * t_idx).astype(np.int64) - _H_OFFSET
         h_base[i] = base
         idx = base[:, None] + np.arange(w)[None, :]        # (T, w)
-        codes_static[i] = half[np.clip(idx, 0, len(half) - 1)]
+        codes_static[i] = sub[np.clip(idx, 0, len(sub) - 1)]
     return CorrelatorTables(code_pads, codes_static, h_base)

@@ -106,6 +106,30 @@ def test_onehot_matches_gather_impl(cfg, setup):
     np.testing.assert_allclose(res_oh.carr_freq, res_ga.carr_freq, atol=1e-6)
 
 
+def test_narrow_correlator_spacing(cfg, setup):
+    """Non-default early/late spacings (narrow correlator) drive the same
+    sums through onehot and gather (the sub-chip subdivision generalizes
+    the half-chip identities)."""
+    sats, signal, channels = setup
+    for spacing in (0.25, 0.1):
+        c = cfg.with_options(dll_correlator_spacing=spacing)
+        a = track(c.with_options(correlator_impl="onehot"), signal, channels, n_ms=80)
+        b = track(c.with_options(correlator_impl="gather"), signal, channels, n_ms=80)
+        np.testing.assert_array_equal(a.absolute_sample, b.absolute_sample)
+        for key in ("i_p", "i_e", "i_l", "q_e", "q_l"):
+            x, y = getattr(a, key), getattr(b, key)
+            scale = np.sqrt(np.mean(y**2))
+            assert np.max(np.abs(x - y)) / scale < 1e-4, (spacing, key)
+
+
+def test_irrational_spacing_rejected():
+    from softgnss_tpu.track.tables import subdivision
+
+    cfg_bad = fast_config(dll_correlator_spacing=0.123456789)
+    with pytest.raises(ValueError, match="gather"):
+        subdivision(cfg_bad)
+
+
 def test_onehot_window_margin_at_extreme_doppler(cfg):
     """The tile-local one-hot window must hold at the Doppler band edge
     (the gather path is exact regardless, so disagreement = clipping)."""
