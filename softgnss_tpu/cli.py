@@ -26,6 +26,8 @@ softgnss_tpu v{softgnss_tpu.__version__} — TPU-native GPS L1 C/A software rece
 
 
 def _parse_value(raw: str):
+    if "," in raw:
+        return tuple(_parse_value(v) for v in raw.split(",") if v != "")
     for cast in (int, float):
         try:
             return cast(raw)

@@ -150,8 +150,10 @@ class ReceiverConfig:
 
     @property
     def num_doppler_bins(self) -> int:
-        """Doppler bins across the search band (reference: acquisition.py:68)."""
-        return int(round(self.acq_search_band_khz * 2) + 1)
+        """Doppler bins across the search band (reference: acquisition.py:68,
+        generalized: the reference hard-codes the 500 Hz step)."""
+        band_hz = self.acq_search_band_khz * 1000.0
+        return int(round(band_hz / self.acq_doppler_step_hz)) + 1
 
     @property
     def doppler_bin_freqs(self) -> tuple[float, ...]:

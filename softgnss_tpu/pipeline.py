@@ -86,6 +86,11 @@ class ReceiverResults:
         return "\n".join(lines)
 
 
+def _checkpoint_path(path: str) -> str:
+    """np.savez appends .npz; normalize so save/exists/load agree."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_tracking(path: str, tracking: TrackResults) -> None:
     """Checkpoint tracking output to .npz.
 
@@ -99,7 +104,7 @@ def save_tracking(path: str, tracking: TrackResults) -> None:
         state = {f"state_{k}": np.asarray(v)
                  for k, v in tracking.final_state._asdict().items()}
     np.savez_compressed(
-        path, prn=tracking.prn, status=np.asarray(tracking.status),
+        _checkpoint_path(path), prn=tracking.prn, status=np.asarray(tracking.status),
         **{k: getattr(tracking, k) for k in (
             "absolute_sample", "sample_frac", "code_freq", "carr_freq", "i_p", "i_e", "i_l",
             "q_e", "q_p", "q_l", "dll_discr", "dll_discr_filt", "pll_discr",
@@ -110,7 +115,7 @@ def save_tracking(path: str, tracking: TrackResults) -> None:
 def load_tracking(path: str) -> TrackResults:
     from softgnss_tpu.track.scan import TrackState
 
-    data = np.load(path, allow_pickle=False)
+    data = np.load(_checkpoint_path(path), allow_pickle=False)
     state = None
     if "state_ptr" in data:
         state = TrackState(**{k: data[f"state_{k}"] for k in TrackState._fields})
@@ -164,6 +169,21 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
     if probe:
         results.probe = sio.probe_data(config, signal[skip:])
 
+    # --- tracking checkpoint short-circuit ---------------------------------
+    # a loaded checkpoint supersedes acquisition AND tracking; running the
+    # full acquisition first would waste it and print a channel table
+    # unrelated to the loaded rows
+    if checkpoint is not None and os.path.exists(_checkpoint_path(checkpoint)):
+        logger.info("Loading tracking checkpoint %s", _checkpoint_path(checkpoint))
+        t0 = time.monotonic()
+        results.tracking = load_tracking(checkpoint)
+        results.timings_s["track"] = time.monotonic() - t0
+        if navigate:
+            t0 = time.monotonic()
+            results.solutions, results.ephemerides = post_navigate(config, results.tracking)
+            results.timings_s["navigate"] = time.monotonic() - t0
+        return results
+
     # --- acquisition (reference: initialize.py:481-492) --------------------
     if channels is not None:
         results.channels = channels
@@ -192,21 +212,17 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
 
     # --- tracking -----------------------------------------------------------
     t0 = time.monotonic()
-    if checkpoint is not None and os.path.exists(checkpoint):
-        logger.info("Loading tracking checkpoint %s", checkpoint)
-        results.tracking = load_tracking(checkpoint)
-    else:
-        if mesh is not None:
-            from softgnss_tpu.parallel import track_channels_sharded, track_time_sharded
+    if mesh is not None:
+        from softgnss_tpu.parallel import track_channels_sharded, track_time_sharded
 
-            track_fn = {"channel": track_channels_sharded,
-                        "time": track_time_sharded}[shard]
-            results.tracking = track_fn(config, signal, results.channels, mesh,
-                                        n_ms=n_ms)
-        else:
-            results.tracking = track(config, signal, results.channels, n_ms=n_ms)
-        if checkpoint is not None:
-            save_tracking(checkpoint, results.tracking)
+        track_fn = {"channel": track_channels_sharded,
+                    "time": track_time_sharded}[shard]
+        results.tracking = track_fn(config, signal, results.channels, mesh,
+                                    n_ms=n_ms)
+    else:
+        results.tracking = track(config, signal, results.channels, n_ms=n_ms)
+    if checkpoint is not None:
+        save_tracking(checkpoint, results.tracking)
     results.timings_s["track"] = time.monotonic() - t0
 
     # --- navigation ---------------------------------------------------------

@@ -80,11 +80,27 @@ def lock_metrics(config, tracking, window_ms: int = 1000) -> dict:
     i_p = np.asarray(tracking.i_p)
     q_p = np.asarray(tracking.q_p)
     c, n_ms = i_p.shape
-    n_win = n_ms // window_ms
+    if n_ms < window_ms + 20:
+        raise ValueError(f"need >= {window_ms + 20} ms of tracking, got {n_ms}")
+
+    # align the 20-ms coherent sums to each channel's nav-bit edges (the
+    # I_P sign-transition phase mod 20); unaligned sums straddle bit
+    # transitions and bias C/N0 low by >10 dB on healthy channels
+    signs = np.sign(i_p)
+    flips = (signs[:, 1:] * signs[:, :-1]) < 0          # (C, n_ms-1)
+    offsets = np.zeros(c, np.int64)
+    for ch in range(c):
+        edges = np.flatnonzero(flips[ch]) + 1
+        if edges.size:
+            offsets[ch] = np.bincount(edges % 20, minlength=20).argmax()
+
+    n_win = (n_ms - 20) // window_ms
     if n_win == 0:
-        raise ValueError(f"need >= {window_ms} ms of tracking, got {n_ms}")
-    ip = i_p[:, : n_win * window_ms].reshape(c, n_win, window_ms)
-    qp = q_p[:, : n_win * window_ms].reshape(c, n_win, window_ms)
+        raise ValueError(f"need >= {window_ms + 20} ms of tracking, got {n_ms}")
+    ip = np.stack([i_p[ch, offsets[ch]: offsets[ch] + n_win * window_ms]
+                   for ch in range(c)]).reshape(c, n_win, window_ms)
+    qp = np.stack([q_p[ch, offsets[ch]: offsets[ch] + n_win * window_ms]
+                   for ch in range(c)]).reshape(c, n_win, window_ms)
 
     # 20-ms coherent sums (one nav bit) inside each window
     m = window_ms // 20
@@ -104,6 +120,7 @@ def lock_metrics(config, tracking, window_ms: int = 1000) -> dict:
 
     code_freq = np.asarray(tracking.code_freq)[:, : n_win * window_ms]
     code_off = code_freq.reshape(c, n_win, window_ms).mean(-1)
+
 
     return {"cn0_dbhz": cn0, "pll_lock": pll_lock,
             "code_rate_offset_hz": code_off - config.code_freq_basis}
