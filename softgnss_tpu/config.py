@@ -97,6 +97,10 @@ class ReceiverConfig:
     elevation_mask_deg: float = 10.0
     #: apply tropospheric correction (reference: initialize.py:150)
     use_trop_corr: bool = True
+    #: carrier-smoothing (Hatch filter) window in epochs; 0 = off (the
+    #: reference has no smoothing).  Code pseudoranges are blended with
+    #: integrated carrier-phase deltas, cutting code noise by ~sqrt(N)
+    carrier_smoothing_epochs: int = 0
     #: known true position (E, N, U) for plotting, or None
     #: (reference: initialize.py:156)
     true_position: tuple[float, float, float] | None = None

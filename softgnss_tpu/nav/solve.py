@@ -226,6 +226,28 @@ def post_navigate(config: ReceiverConfig, track) -> tuple[NavSolutions | None, l
         ms_idx = first_subframe[ch] + period * np.arange(n_epochs)
         travel[ch] = absolute_sample[ch, ms_idx] / config.samples_per_code
 
+    # --- carrier smoothing (Hatch filter; beyond the reference) ------------
+    # Epoch-to-epoch range change is measured ~wavelength-precisely by the
+    # integrated carrier: delta_r = -lambda * sum((carr_freq - IF) * 1 ms).
+    # Blending code travel times with carrier deltas cuts code noise by
+    # ~sqrt(window).  Receiver clock drift is common-mode (absorbed by dt).
+    n_smooth = config.carrier_smoothing_epochs
+    carr_freq = getattr(track, "carr_freq", None)
+    if n_smooth > 1 and carr_freq is not None and n_epochs > 1:
+        lam_ms = (config.speed_of_light / config.l1_freq) / (
+            config.speed_of_light / 1000.0)        # wavelength in travel-ms
+        cyc = np.cumsum(np.asarray(carr_freq, np.float64)
+                        - config.intermediate_freq, axis=1) * 1e-3  # cycles
+        for ch in active:
+            ms_idx = first_subframe[ch] + period * np.arange(n_epochs)
+            phi = cyc[ch, ms_idx]
+            sm = travel[ch].copy()
+            for n in range(1, n_epochs):
+                alpha = 1.0 / min(n + 1, n_smooth)
+                pred = sm[n - 1] - lam_ms * (phi[n] - phi[n - 1])
+                sm[n] = alpha * travel[ch, n] + (1.0 - alpha) * pred
+            travel[ch] = sm
+
     # packed ephemerides; inactive rows get a valid dummy (masked in solver)
     dummy = ephs[int(active[0])]
     packed = pack_ephemerides([ephs.get(ch, dummy) for ch in range(c_ch)])

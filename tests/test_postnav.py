@@ -89,7 +89,9 @@ def build_track(config, rx, ephs, t_rx0):
 
     i_p = np.zeros((c, N_MS))
     absolute_sample = np.zeros((c, N_MS))
+    carr_freq = np.zeros((c, N_MS))
     fs = config.sampling_freq
+    cfg_l1_if = (config.intermediate_freq, config.l1_freq)
     amp = 5000.0
     m = np.arange(N_MS)
 
@@ -106,10 +108,14 @@ def build_track(config, rx, ephs, t_rx0):
         absolute_sample[ch] = (t_tx + tau - t_rx0) * fs
         bit_idx = np.floor((t_tx - 1e-3 / 2 - t_bits0) / 0.02).astype(np.int64)
         i_p[ch] = amp * stream[bit_idx % len(stream)]
+        # Doppler-consistent carrier frequency history (for Hatch smoothing)
+        dtau = np.gradient(tau) / 1e-3
+        carr_freq[ch] = cfg_l1_if[0] - cfg_l1_if[1] * dtau
 
     track = FakeTrack()
     track.i_p = i_p
     track.absolute_sample = absolute_sample
+    track.carr_freq = carr_freq
     track.status = ["T"] * c
     track.prn = np.arange(1, c + 1)
     return track
@@ -174,6 +180,31 @@ class TestPostNavigate:
         az = sol.az[np.isfinite(sol.az)]
         assert np.all(el >= config.elevation_mask_deg)
         assert np.all((az >= 0) & (az < 360))
+
+    def test_carrier_smoothing_cuts_code_noise(self, nav_case):
+        """Hatch filter: with white code noise on the sample counters, the
+        carrier-smoothed solution scatter shrinks ~sqrt(window)."""
+        config, rx, ephs, track, _ = nav_case
+        noisy = FakeTrack()
+        rng = np.random.default_rng(5)
+        noisy.i_p = track.i_p
+        noisy.absolute_sample = (track.absolute_sample
+                                 + rng.normal(0, 2.0, track.absolute_sample.shape))
+        noisy.carr_freq = track.carr_freq
+        noisy.status = track.status
+        noisy.prn = track.prn
+
+        def scatter(sol):
+            ok = np.isfinite(sol.x)
+            e = np.sqrt((sol.x[ok] - rx[0]) ** 2 + (sol.y[ok] - rx[1]) ** 2
+                        + (sol.z[ok] - rx[2]) ** 2)
+            return np.median(e)
+
+        raw_sol, _ = post_navigate(config, noisy)
+        sm_sol, _ = post_navigate(
+            config.with_options(carrier_smoothing_epochs=20), noisy)
+        raw_err, sm_err = scatter(raw_sol), scatter(sm_sol)
+        assert sm_err < 0.5 * raw_err, (raw_err, sm_err)
 
     def test_too_short_record(self, nav_case):
         config, rx, ephs, track, _ = nav_case
