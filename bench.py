@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Headline benchmark: 12-channel tracking throughput (capture samples/s).
 
+Set BENCH_METRIC=acquisition for the acquisition-search metric instead
+(correlation points/s over the full 32-PRN x Doppler x code-phase grid).
+
 Workload per BASELINE.md ("12-channel parallel tracking"): the reference
 default front end (fs = 38.192 MHz int8, IF 9.548 MHz), 12 channels of
 DLL/PLL tracking with 1 ms integration.  The metric is capture samples
@@ -23,8 +26,61 @@ import time
 import numpy as np
 
 
+def bench_acquisition() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import softgnss_tpu as sg
+    from softgnss_tpu.acquire.search import _acquire_device
+    from softgnss_tpu.signals.synth import SatelliteSignal, synthesize_signal
+
+    config = sg.default_config()
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            sig = synthesize_signal(
+                config, [SatelliteSignal(prn=7, doppler_hz=2500.0,
+                                         delay_samples=12345.0)],
+                config.acquisition_ms + 1, noise_std=1.5, seed=3)
+    else:
+        sig = synthesize_signal(
+            config, [SatelliteSignal(prn=7, doppler_hz=2500.0,
+                                     delay_samples=12345.0)],
+            config.acquisition_ms + 1, noise_std=1.5, seed=3)
+    need = config.acquisition_ms * config.samples_per_code
+    sigs = [jnp.asarray(np.concatenate([sig[:need - 1], np.array([r], np.int8)]))
+            for r in range(4)]
+    out = _acquire_device(config, sigs[0])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for r in range(1, 4):
+        out = _acquire_device(config, sigs[r])
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / 3
+    n_corr = 32 * config.num_doppler_bins * config.samples_per_code
+    # oracle: measured in-process on one PRN, scaled to 32
+    from softgnss_tpu.oracle import oracle_acquire_grid
+
+    t0 = time.perf_counter()
+    oracle_acquire_grid(config, np.asarray(sig), 7)
+    t_oracle = (time.perf_counter() - t0) * 32
+    print(json.dumps({
+        "metric": "acquisition_corr_points_per_sec_32prn_fs38.192MHz",
+        "value": round(n_corr / dt, 1),
+        "unit": "corr-points/s",
+        "vs_baseline": round((n_corr / dt) / (n_corr / t_oracle), 2),
+    }))
+
+
 def main() -> None:
     import jax
+
+    if os.environ.get("BENCH_METRIC", "tracking") == "acquisition":
+        bench_acquisition()
+        return
 
     import softgnss_tpu as sg
     from softgnss_tpu.acquire.search import Channels
