@@ -81,6 +81,12 @@ class NavSolutions:
     utm_zone: int
     first_subframe: np.ndarray  # (C,) ms index of first preamble (0 = none)
     tow: float               # GPS time of week of the first epoch, s
+    #: receiver ECEF velocity (E,) per axis + clock drift, from carrier
+    #: Doppler (beyond the reference, which has no velocity solution)
+    vx: np.ndarray = None
+    vy: np.ndarray = None
+    vz: np.ndarray = None
+    clock_drift: np.ndarray = None   # (E,) m/s
 
     @property
     def n_epochs(self) -> int:
@@ -105,17 +111,18 @@ def calculate_pseudoranges(config: ReceiverConfig, absolute_sample: np.ndarray,
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
-                travel_time, transmit_times):
+                travel_time, transmit_times, doppler_meas):
     """Scan over measurement epochs.
 
     packed_eph: (C, F); base_mask: (C,) bool; travel_time: (C, E) ms units;
-    transmit_times: (E,) s.
+    transmit_times: (E,) s; doppler_meas: (C, E) measured carrier Doppler, Hz.
     """
     elev_mask = config.elevation_mask_deg
     c_light = config.speed_of_light
+    lam = c_light / config.l1_freq
 
     def step(sat_elev, inputs):
-        travel, t_tx = inputs
+        travel, t_tx, doppler = inputs
         mask = base_mask & (sat_elev >= elev_mask)
 
         # pseudoranges: masked min (reference postNavigation.py:52-71)
@@ -127,6 +134,26 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
 
         pos, el, az, dop = solve_epoch(sat_pos, obs, mask, use_trop)
         ok = jnp.sum(mask) > 3
+
+        # --- velocity from carrier Doppler (beyond the reference) ----------
+        # rho_dot_i = e_i . (v_sat_i - v_rx) + clock_drift, with
+        # rho_dot = -lambda * doppler; satellite ECEF velocity by central
+        # finite difference of the broadcast orbit (~mm/s accurate)
+        h = 0.05
+        sat_a, _ = jax.vmap(partial(_satpos_one, t_tx - h))(packed_eph)
+        sat_b, _ = jax.vmap(partial(_satpos_one, t_tx + h))(packed_eph)
+        sat_vel = (sat_b - sat_a) / (2.0 * h)               # (C, 3)
+        diff = sat_pos - pos[:3]
+        rho = jnp.linalg.norm(diff, axis=-1)
+        e_los = diff / jnp.maximum(rho, 1.0)[:, None]
+        rho_dot = -lam * doppler
+        vobs = jnp.where(mask, rho_dot - jnp.sum(e_los * sat_vel, axis=-1), 0.0)
+        a_v = jnp.concatenate([-e_los, jnp.ones((e_los.shape[0], 1))], axis=1)
+        a_v = a_v * mask.astype(jnp.float64)[:, None]
+        from softgnss_tpu.nav.pvt import inv4
+        inv_v, det_v = inv4(a_v.T @ a_v)
+        vel4 = jnp.where((jnp.abs(det_v) > 1e-12) & ok,
+                         inv_v @ (a_v.T @ vobs), jnp.nan)
 
         nan = jnp.float64(jnp.nan)
         pos = jnp.where(ok, pos, nan)
@@ -141,11 +168,12 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
         # postNavigation.py:241 + the nan-initialized el columns)
         new_elev = jnp.where(ok & mask, el, nan)
         outs = (pos, dop, el_out, az_out, jnp.where(mask, raw_p, nan), corrected,
-                lat, lon, hgt)
+                lat, lon, hgt, vel4)
         return new_elev, outs
 
     init_elev = jnp.full(base_mask.shape, jnp.inf)
-    _, outs = jax.lax.scan(step, init_elev, (travel_time.T, transmit_times))
+    _, outs = jax.lax.scan(step, init_elev,
+                           (travel_time.T, transmit_times, doppler_meas.T))
     return outs
 
 
@@ -254,11 +282,27 @@ def post_navigate(config: ReceiverConfig, track) -> tuple[NavSolutions | None, l
 
     transmit_times = tow_common + period / 1000.0 * np.arange(n_epochs)
 
+    # measured carrier Doppler at each epoch, averaged over a +-50 ms
+    # window: the per-ms PLL frequency carries Hz-level noise that the
+    # ~0.1 s-stationary true Doppler does not
+    carr = getattr(track, "carr_freq", None)
+    doppler = np.zeros((c_ch, n_epochs))
+    if carr is not None:
+        carr = np.asarray(carr, np.float64)
+        half_w = 50
+        for ch in active:
+            ms_idx = first_subframe[ch] + period * np.arange(n_epochs)
+            lo = np.maximum(ms_idx - half_w, 0)
+            hi = np.minimum(ms_idx + half_w + 1, carr.shape[1])
+            csum = np.concatenate([[0.0], np.cumsum(carr[ch])])
+            doppler[ch] = (csum[hi] - csum[lo]) / (hi - lo) - config.intermediate_freq
+
     with host_context():
         outs = _epoch_scan(config, bool(config.use_trop_corr),
                            jnp.asarray(packed), jnp.asarray(base_mask),
-                           jnp.asarray(travel), jnp.asarray(transmit_times))
-        (pos, dop, el, az, raw_p, corrected, lat, lon, hgt) = map(np.asarray, outs)
+                           jnp.asarray(travel), jnp.asarray(transmit_times),
+                           jnp.asarray(doppler))
+        (pos, dop, el, az, raw_p, corrected, lat, lon, hgt, vel4) = map(np.asarray, outs)
 
         # --- UTM conversion (zone fixed from the first valid fix) ----------
         valid = np.isfinite(lat)
@@ -281,5 +325,6 @@ def post_navigate(config: ReceiverConfig, track) -> tuple[NavSolutions | None, l
         dop=dop.T, prn=prn, el=el.T, az=az.T,
         raw_p=raw_p.T, corrected_p=corrected.T,
         utm_zone=utm_zone, first_subframe=first_subframe, tow=float(tow_common),
+        vx=vel4[:, 0], vy=vel4[:, 1], vz=vel4[:, 2], clock_drift=vel4[:, 3],
     )
     return solutions, eph_by_prn

@@ -79,6 +79,16 @@ class TestEndToEnd:
         assert np.nanmedian(np.abs(sol.latitude - 47.0)) < 0.01
         assert np.nanmedian(np.abs(sol.longitude - 8.5)) < 0.01
 
+    def test_velocity_solution(self, e2e_results):
+        """Static-receiver velocity from tracked carrier Doppler: bounded
+        by PLL frequency noise x DOP."""
+        cfg, scenario, results = e2e_results
+        sol = results.solutions
+        v = np.sqrt(sol.vx**2 + sol.vy**2 + sol.vz**2)
+        ok = np.isfinite(v)
+        assert ok.sum() >= 0.9 * sol.n_epochs
+        assert np.median(v[ok]) < 0.3             # m/s (measured ~0.04)
+
     def test_dop_and_elevations_reported(self, e2e_results):
         cfg, scenario, results = e2e_results
         sol = results.solutions

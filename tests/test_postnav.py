@@ -181,6 +181,17 @@ class TestPostNavigate:
         assert np.all(el >= config.elevation_mask_deg)
         assert np.all((az >= 0) & (az < 360))
 
+    def test_velocity_solution_static_receiver(self, nav_case):
+        """Doppler-based velocity (beyond the reference): a static receiver
+        with exact fabricated observables solves to ~cm/s."""
+        config, rx, ephs, track, _ = nav_case
+        sol, _ = post_navigate(config, track)
+        v = np.sqrt(sol.vx**2 + sol.vy**2 + sol.vz**2)
+        ok = np.isfinite(v)
+        assert ok.sum() >= 0.9 * sol.n_epochs
+        assert np.median(v[ok]) < 0.05            # m/s
+        assert np.nanmax(np.abs(sol.clock_drift[ok])) < 0.1
+
     def test_carrier_smoothing_cuts_code_noise(self, nav_case):
         """Hatch filter: with white code noise on the sample counters, the
         carrier-smoothed solution scatter shrinks ~sqrt(window)."""
