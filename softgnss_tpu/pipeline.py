@@ -77,6 +77,12 @@ class ReceiverResults:
                     f"lon {np.nanmean(self.solutions.longitude):.6f} deg, "
                     f"hgt {np.nanmean(self.solutions.height):.1f} m, "
                     f"mean PDOP {np.nanmean(self.solutions.dop[1]):.2f}")
+                if self.solutions.vx is not None:
+                    v = np.sqrt(self.solutions.vx**2 + self.solutions.vy**2
+                                + self.solutions.vz**2)
+                    if np.isfinite(v).any():
+                        lines.append(f"Velocity: median |v| {np.nanmedian(v):.3f} m/s, "
+                                     f"clock drift {np.nanmedian(self.solutions.clock_drift):.3f} m/s")
             else:
                 lines.append("PVT: no fixes")
         elif self.tracking is not None:

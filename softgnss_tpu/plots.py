@@ -136,6 +136,9 @@ def plot_navigation(config: ReceiverConfig, solutions, out_dir: str = ".") -> st
     ax1.plot(sol.e - ref_e, label="E")
     ax1.plot(sol.n - ref_n, label="N")
     ax1.plot(sol.u - ref_u, label="U")
+    if getattr(sol, "vx", None) is not None and np.isfinite(sol.vx).any():
+        ax1.plot(np.sqrt(sol.vx**2 + sol.vy**2 + sol.vz**2), "--",
+                 label="|v| (m/s)", alpha=0.7)
     ax1.legend()
     ax1.set(title="Coordinate variations in UTM system",
             xlabel=f"Measurement period: {config.nav_sol_period_ms} ms",
