@@ -34,18 +34,15 @@ def bench_acquisition() -> None:
     from softgnss_tpu.acquire.search import _acquire_device
     from softgnss_tpu.signals.synth import SatelliteSignal, synthesize_signal
 
+    import contextlib
+
     config = sg.default_config()
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         cpu = None
-    if cpu is not None:
-        with jax.default_device(cpu):
-            sig = synthesize_signal(
-                config, [SatelliteSignal(prn=7, doppler_hz=2500.0,
-                                         delay_samples=12345.0)],
-                config.acquisition_ms + 1, noise_std=1.5, seed=3)
-    else:
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
         sig = synthesize_signal(
             config, [SatelliteSignal(prn=7, doppler_hz=2500.0,
                                      delay_samples=12345.0)],
@@ -105,16 +102,15 @@ def main() -> None:
                             phase0=float(rng.uniform(0, 6.28)),
                             nav_bits=tuple(rng.choice([-1, 1], size=64)))
             for p in prns]
-    # synthesize on the host CPU backend: the generator is gather-bound and
-    # not the benchmarked path
+    # synthesize on the host CPU backend: not the benchmarked path
+    import contextlib
+
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         cpu = None
-    if cpu is not None:
-        with jax.default_device(cpu):
-            signal = synthesize_signal(config, sats, n_ms + 3, noise_std=1.0, seed=9)
-    else:
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
         signal = synthesize_signal(config, sats, n_ms + 3, noise_std=1.0, seed=9)
 
     channels = Channels(

@@ -42,7 +42,7 @@ from softgnss_tpu.nav.message import Ephemeris, decode_ephemeris
 from softgnss_tpu.nav.orbit import _satpos_one, pack_ephemerides
 from softgnss_tpu.nav.hostctx import host_context
 from softgnss_tpu.nav.preamble import find_preambles
-from softgnss_tpu.nav.pvt import solve_epoch
+from softgnss_tpu.nav.pvt import inv4, solve_epoch
 
 logger = logging.getLogger(__name__)
 
@@ -83,10 +83,10 @@ class NavSolutions:
     tow: float               # GPS time of week of the first epoch, s
     #: receiver ECEF velocity (E,) per axis + clock drift, from carrier
     #: Doppler (beyond the reference, which has no velocity solution)
-    vx: np.ndarray = None
-    vy: np.ndarray = None
-    vz: np.ndarray = None
-    clock_drift: np.ndarray = None   # (E,) m/s
+    vx: np.ndarray | None = None
+    vy: np.ndarray | None = None
+    vz: np.ndarray | None = None
+    clock_drift: np.ndarray | None = None   # (E,) m/s
 
     @property
     def n_epochs(self) -> int:
@@ -150,7 +150,6 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
         vobs = jnp.where(mask, rho_dot - jnp.sum(e_los * sat_vel, axis=-1), 0.0)
         a_v = jnp.concatenate([-e_los, jnp.ones((e_los.shape[0], 1))], axis=1)
         a_v = a_v * mask.astype(jnp.float64)[:, None]
-        from softgnss_tpu.nav.pvt import inv4
         inv_v, det_v = inv4(a_v.T @ a_v)
         vel4 = jnp.where((jnp.abs(det_v) > 1e-12) & ok,
                          inv_v @ (a_v.T @ vobs), jnp.nan)
@@ -260,11 +259,13 @@ def post_navigate(config: ReceiverConfig, track) -> tuple[NavSolutions | None, l
     # Blending code travel times with carrier deltas cuts code noise by
     # ~sqrt(window).  Receiver clock drift is common-mode (absorbed by dt).
     n_smooth = config.carrier_smoothing_epochs
-    carr_freq = getattr(track, "carr_freq", None)
-    if n_smooth > 1 and carr_freq is not None and n_epochs > 1:
+    carr_freq_raw = getattr(track, "carr_freq", None)
+    carr_freq_arr = (None if carr_freq_raw is None
+                     else np.asarray(carr_freq_raw, np.float64))
+    if n_smooth > 1 and carr_freq_arr is not None and n_epochs > 1:
         lam_ms = (config.speed_of_light / config.l1_freq) / (
             config.speed_of_light / 1000.0)        # wavelength in travel-ms
-        cyc = np.cumsum(np.asarray(carr_freq, np.float64)
+        cyc = np.cumsum(carr_freq_arr
                         - config.intermediate_freq, axis=1) * 1e-3  # cycles
         for ch in active:
             ms_idx = first_subframe[ch] + period * np.arange(n_epochs)
@@ -272,7 +273,10 @@ def post_navigate(config: ReceiverConfig, track) -> tuple[NavSolutions | None, l
             sm = travel[ch].copy()
             for n in range(1, n_epochs):
                 alpha = 1.0 / min(n + 1, n_smooth)
-                pred = sm[n - 1] - lam_ms * (phi[n] - phi[n - 1])
+                # predictor = previous smoothed travel + the nominal
+                # per-epoch advance (epochs are `period` ms apart in
+                # transmit time) + the carrier-measured delay change
+                pred = sm[n - 1] + period - lam_ms * (phi[n] - phi[n - 1])
                 sm[n] = alpha * travel[ch, n] + (1.0 - alpha) * pred
             travel[ch] = sm
 
@@ -284,17 +288,17 @@ def post_navigate(config: ReceiverConfig, track) -> tuple[NavSolutions | None, l
 
     # measured carrier Doppler at each epoch, averaged over a +-50 ms
     # window: the per-ms PLL frequency carries Hz-level noise that the
-    # ~0.1 s-stationary true Doppler does not
-    carr = getattr(track, "carr_freq", None)
-    doppler = np.zeros((c_ch, n_epochs))
-    if carr is not None:
-        carr = np.asarray(carr, np.float64)
+    # ~0.1 s-stationary true Doppler does not.  Without carr_freq the
+    # Doppler is NaN so the velocity solution reports NaN rather than
+    # solving an all-zero-Doppler system into garbage velocities.
+    doppler = np.full((c_ch, n_epochs), np.nan)
+    if carr_freq_arr is not None:
         half_w = 50
         for ch in active:
             ms_idx = first_subframe[ch] + period * np.arange(n_epochs)
             lo = np.maximum(ms_idx - half_w, 0)
-            hi = np.minimum(ms_idx + half_w + 1, carr.shape[1])
-            csum = np.concatenate([[0.0], np.cumsum(carr[ch])])
+            hi = np.minimum(ms_idx + half_w + 1, carr_freq_arr.shape[1])
+            csum = np.concatenate([[0.0], np.cumsum(carr_freq_arr[ch])])
             doppler[ch] = (csum[hi] - csum[lo]) / (hi - lo) - config.intermediate_freq
 
     with host_context():

@@ -5,7 +5,7 @@ IF=4.1304 MHz (GPS_and_GIOVE_A-NN-fs16_3676-if4_1304.bin, reference
 main.py:60).  This config exercises a non-power-of-two samples_per_code
 (16368 = 2^4*3*11*31 -> the folded-correlation acquisition path) and a
 16-samples/chip code grid.  The synthetic backend requires ms-divisible
-sampling (16.368 MHz here, 24 Hz off the real front end — receiver code
+sampling (16.368 MHz here, 400 Hz off the real front end — receiver code
 paths are identical; only the test generator needs the divisibility).
 """
 
