@@ -165,13 +165,16 @@ def _prn_block(config: ReceiverConfig, x1, x2, sig0dc, code_fd, gold):
     code_phase = peak_idx % spc
     peak = jnp.take_along_axis(flat, peak_idx[:, None], 1)[:, 0]
 
-    # exclude +/- one chip (circularly) around the peak in its Doppler row
+    # exclude one chip around the peak in its Doppler row, circularly, with
+    # the reference's exact asymmetric span [cp - spchip, cp + spchip - 1]
+    # (acquisition.py:141-152: excludeRange covers spchip samples below the
+    # peak but spchip-1 above it)
     spchip = config.samples_per_chip
     pos = jnp.arange(spc)
-    dist = jnp.abs(pos[None, :] - code_phase[:, None])
-    circ = jnp.minimum(dist, spc - dist)
+    delta = (pos[None, :] - code_phase[:, None]) % spc
+    keep = (delta >= spchip) & (delta < spc - spchip)
     row = jnp.take_along_axis(results, bin_idx[:, None, None], 1)[:, 0, :]  # (p, N)
-    second = jnp.max(jnp.where(circ >= spchip, row, -jnp.inf), axis=1)
+    second = jnp.max(jnp.where(keep, row, -jnp.inf), axis=1)
     metric = peak / second
 
     # --- fine carrier frequency over 10 ms: zoom FFT -----------------------

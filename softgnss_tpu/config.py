@@ -16,6 +16,7 @@ derive variants, and the CLI exposes ``--set key=value`` overrides.
 from __future__ import annotations
 
 import dataclasses
+import math
 from dataclasses import dataclass
 
 
@@ -130,6 +131,21 @@ class ReceiverConfig:
     track_window_extra: int = 8
     #: sample-tile size of the gather-free one-hot correlator
     track_tile: int = 128
+    #: milliseconds per tracking window-extraction block.  The per-channel
+    #: capture windows for a whole block are extracted with ONE batched
+    #: dynamic_slice and re-framed at static offsets, instead of one
+    #: per-channel dynamic_slice (an XLA gather) every millisecond — the
+    #: dominant per-step cost of the naive scan.  <= 1 disables blocking
+    #: (the round-1 per-ms path); ignored by correlator_impl='pallas'
+    track_block_ms: int = 64
+    #: total static slack (samples) around each block-mode frame, absorbing
+    #: code-phase drift of the true ms boundaries away from the nominal
+    #: samples_per_code grid within a block.  0 = auto-size from the worst
+    #: case (DLL pull-in of ~1 chip + max code Doppler over the block)
+    track_frame_margin: int = 0
+    #: unroll factor of the per-ms tracking scan (amortizes per-iteration
+    #: loop overhead; the recurrence itself stays sequential)
+    track_unroll: int = 4
     #: correlator strategy: 'onehot' (gather-free tiled contraction — the
     #: TPU-fast path, see softgnss_tpu.track.tables) or 'gather' (direct
     #: per-sample table lookup, the reference formulation)
@@ -166,11 +182,52 @@ class ReceiverConfig:
         return tuple(lo + self.acq_doppler_step_hz * i for i in range(self.num_doppler_bins))
 
     @property
+    def track_frame_pre(self) -> int:
+        """Block-mode frame pre-margin: nominal sample offset of a true ms
+        boundary inside its static frame (half the frame slack).  0 when
+        window blocking is off (per-ms path / pallas).
+
+        Auto bound (track_frame_margin=0): the ms boundaries drift from the
+        nominal ``j*samples_per_code`` grid by at most ~1 chip of DLL
+        pull-in plus the code-Doppler rate (|doppler| < 6 kHz on L1 =>
+        < 3.9e-6 of the code rate) integrated over the block, plus the
+        +-1-sample code-period jitter; a few samples of slack on top."""
+        if self.track_block_ms <= 1 or self.correlator_impl == "pallas":
+            return 0
+        if self.track_frame_margin > 0:
+            return self.track_frame_margin // 2
+        drift = 6e-6 * self.track_block_ms * self.samples_per_code
+        return self.samples_per_chip + int(math.ceil(drift)) + 8
+
+    #: preferred samples-per-word packing of the tracking capture view
+    #: (1, 2, or 4; see track_pack).  Wider words make the batched
+    #: per-channel buffer slicing faster; narrower words shrink each
+    #: correlator tile's real-sample span and with it the one-hot width
+    track_pack_size: int = 2
+
+    @property
+    def track_pack(self) -> int:
+        """Samples per capture word in the tracking hot path: >1 when the
+        int8 capture is consumed through an int16/int32 view (fast batched
+        slicing + byte-plane-ordered correlation, see track.scan)."""
+        p = self.track_pack_size
+        if (p in (2, 4) and self.correlator_impl == "onehot"
+                and self.track_block_ms > 1
+                and self.samples_per_code % p == 0 and self.track_tile % p == 0):
+            return p
+        return 1
+
+    @property
     def track_window(self) -> int:
         """Fixed per-ms sample window for tracking (static shape for XLA),
-        rounded up to a whole number of track_tile-sample tiles."""
-        w = self.samples_per_code + self.track_window_extra
-        return (w + self.track_tile - 1) // self.track_tile * self.track_tile
+        rounded up to a whole number of track_tile-sample tiles (times the
+        word packing, so the packed window splits into whole planes).  In
+        block mode the window is widened by the frame slack
+        (2*track_frame_pre) so a static frame contains the drifting true
+        ms span."""
+        w = self.samples_per_code + self.track_window_extra + 2 * self.track_frame_pre
+        mult = self.track_tile * self.track_pack
+        return (w + mult - 1) // mult * mult
 
     @property
     def acquisition_ms(self) -> int:

@@ -15,39 +15,60 @@
 #include <cstdint>
 #include <cstddef>
 
+// Lookup tables as function-local statics of constructor-initialized
+// structs ("magic statics"): C++11 guarantees the one-time init is
+// thread-safe, unlike an if(!init) flag — ctypes releases the GIL during
+// foreign calls, so two Python threads may enter concurrently.
+namespace {
+
+struct Lut4 {
+    int8_t v[256][2];
+    Lut4() {
+        for (int b = 0; b < 256; ++b) {
+            int lo = b & 0x0F, hi = b >> 4;
+            v[b][0] = (int8_t)(lo >= 8 ? lo - 16 : lo);
+            v[b][1] = (int8_t)(hi >= 8 ? hi - 16 : hi);
+        }
+    }
+};
+
+struct Lut2 {
+    int8_t v[256][4];
+    Lut2() {
+        static const int8_t map2[4] = {1, 3, -1, -3};
+        for (int b = 0; b < 256; ++b)
+            for (int s = 0; s < 4; ++s)
+                v[b][s] = map2[(b >> (2 * s)) & 0x3];
+    }
+};
+
+struct Lut1 {
+    int8_t v[256][8];
+    Lut1() {
+        for (int b = 0; b < 256; ++b)
+            for (int s = 0; s < 8; ++s)
+                v[b][s] = ((b >> s) & 1) ? -1 : 1;
+    }
+};
+
+}  // namespace
+
 extern "C" {
 
 // int4: two samples per byte, low nibble first, two's complement
 void unpack_int4(const uint8_t* in, int8_t* out, size_t n_bytes) {
-    static int8_t lut[256][2];
-    static bool init = false;
-    if (!init) {
-        for (int b = 0; b < 256; ++b) {
-            int lo = b & 0x0F, hi = b >> 4;
-            lut[b][0] = (int8_t)(lo >= 8 ? lo - 16 : lo);
-            lut[b][1] = (int8_t)(hi >= 8 ? hi - 16 : hi);
-        }
-        init = true;
-    }
+    static const Lut4 lut;
     for (size_t i = 0; i < n_bytes; ++i) {
-        out[2 * i] = lut[in[i]][0];
-        out[2 * i + 1] = lut[in[i]][1];
+        out[2 * i] = lut.v[in[i]][0];
+        out[2 * i + 1] = lut.v[in[i]][1];
     }
 }
 
 // int2: four samples per byte, LSB-first pairs, sign-magnitude {+1,+3,-1,-3}
 void unpack_int2(const uint8_t* in, int8_t* out, size_t n_bytes) {
-    static const int8_t map2[4] = {1, 3, -1, -3};
-    static int8_t lut[256][4];
-    static bool init = false;
-    if (!init) {
-        for (int b = 0; b < 256; ++b)
-            for (int s = 0; s < 4; ++s)
-                lut[b][s] = map2[(b >> (2 * s)) & 0x3];
-        init = true;
-    }
+    static const Lut2 lut;
     for (size_t i = 0; i < n_bytes; ++i) {
-        const int8_t* v = lut[in[i]];
+        const int8_t* v = lut.v[in[i]];
         out[4 * i] = v[0];
         out[4 * i + 1] = v[1];
         out[4 * i + 2] = v[2];
@@ -57,16 +78,9 @@ void unpack_int2(const uint8_t* in, int8_t* out, size_t n_bytes) {
 
 // int1: eight samples per byte, LSB first, {0,1} -> {+1,-1}
 void unpack_int1(const uint8_t* in, int8_t* out, size_t n_bytes) {
-    static int8_t lut[256][8];
-    static bool init = false;
-    if (!init) {
-        for (int b = 0; b < 256; ++b)
-            for (int s = 0; s < 8; ++s)
-                lut[b][s] = ((b >> s) & 1) ? -1 : 1;
-        init = true;
-    }
+    static const Lut1 lut;
     for (size_t i = 0; i < n_bytes; ++i) {
-        const int8_t* v = lut[in[i]];
+        const int8_t* v = lut.v[in[i]];
         for (int s = 0; s < 8; ++s) out[8 * i + s] = v[s];
     }
 }

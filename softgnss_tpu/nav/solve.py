@@ -140,14 +140,20 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
         # rho_dot = -lambda * doppler; satellite ECEF velocity by central
         # finite difference of the broadcast orbit (~mm/s accurate)
         h = 0.05
-        sat_a, _ = jax.vmap(partial(_satpos_one, t_tx - h))(packed_eph)
-        sat_b, _ = jax.vmap(partial(_satpos_one, t_tx + h))(packed_eph)
+        sat_a, clk_a = jax.vmap(partial(_satpos_one, t_tx - h))(packed_eph)
+        sat_b, clk_b = jax.vmap(partial(_satpos_one, t_tx + h))(packed_eph)
         sat_vel = (sat_b - sat_a) / (2.0 * h)               # (C, 3)
+        # satellite clock drift (a_f1 + 2 a_f2 dt + relativistic rate) enters
+        # the measured Doppler exactly like geometric range rate
+        # (reference blind spot: geoFunctions.py:819-885 has no velocity)
+        clk_drift = (clk_b - clk_a) / (2.0 * h)             # (C,) s/s
         diff = sat_pos - pos[:3]
         rho = jnp.linalg.norm(diff, axis=-1)
         e_los = diff / jnp.maximum(rho, 1.0)[:, None]
         rho_dot = -lam * doppler
-        vobs = jnp.where(mask, rho_dot - jnp.sum(e_los * sat_vel, axis=-1), 0.0)
+        vobs = jnp.where(mask,
+                         rho_dot + c_light * clk_drift
+                         - jnp.sum(e_los * sat_vel, axis=-1), 0.0)
         a_v = jnp.concatenate([-e_los, jnp.ones((e_los.shape[0], 1))], axis=1)
         a_v = a_v * mask.astype(jnp.float64)[:, None]
         inv_v, det_v = inv4(a_v.T @ a_v)
@@ -162,10 +168,13 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
         corrected = jnp.where(mask, raw_p + clk * c_light + pos[3], nan)
         lat, lon, hgt = cart2geo(pos[0], pos[1], pos[2], 4)
 
-        # carry: masked-out or failed epochs propagate NaN elevations, so a
-        # satellite below the mask stays excluded (reference behavior,
-        # postNavigation.py:241 + the nan-initialized el columns)
-        new_elev = jnp.where(ok & mask, el, nan)
+        # carry: after a successful solve, masked-out satellites get NaN
+        # elevations and stay excluded (reference behavior,
+        # postNavigation.py:241 + the nan-initialized el columns); a FAILED
+        # epoch keeps the previous elevations so a transient <4-satellite
+        # gap does not blind every later epoch (the reference likewise only
+        # updates satElev inside the >3-satellite branch)
+        new_elev = jnp.where(ok, jnp.where(mask, el, nan), sat_elev)
         outs = (pos, dop, el_out, az_out, jnp.where(mask, raw_p, nan), corrected,
                 lat, lon, hgt, vel4)
         return new_elev, outs

@@ -37,7 +37,8 @@ from softgnss_tpu.track.scan import (
     MsOutputs,
     TrackResults,
     TrackState,
-    _channel_ms,
+    _check_overflow,
+    _scan_ms,
     initial_state,
 )
 from softgnss_tpu.track.tables import CorrelatorTables, build_tables
@@ -94,15 +95,9 @@ def _track_channels_sharded(config: ReceiverConfig, mesh: Mesh, n_ms: int,
     ch_axis = config.channel_axis
 
     def shard_fn(signal_r, tables_l, carr_basis_l, active_l, state_l):
-        step_fn = jax.vmap(
-            lambda tab, cb, act, st: _channel_ms(config, signal_r, tab, cb, act, st),
-            in_axes=(0, 0, 0, 0))
-
-        def step(state, _):
-            return step_fn(tables_l, carr_basis_l, active_l, state)
-
-        final, ys = jax.lax.scan(step, state_l, None, length=n_ms)
-        return final, ys
+        final, ys, ovf = _scan_ms(config, signal_r, tables_l, carr_basis_l,
+                                  active_l, n_ms, state_l)
+        return final, ys, ovf[None]
 
     state_spec = jax.tree.map(lambda _: P(ch_axis), state0,
                               is_leaf=lambda x: x is not state0)
@@ -112,7 +107,8 @@ def _track_channels_sharded(config: ReceiverConfig, mesh: Mesh, n_ms: int,
                   state_spec),
         out_specs=(state_spec,
                    jax.tree.map(lambda _: P(None, ch_axis), MsOutputs(*[0] * 14),
-                                is_leaf=lambda x: not isinstance(x, MsOutputs))),
+                                is_leaf=lambda x: not isinstance(x, MsOutputs)),
+                   P(ch_axis)),
     )
     return shard(signal, tables, carr_basis, active, state0)
 
@@ -129,10 +125,11 @@ def track_channels_sharded(config: ReceiverConfig, signal: np.ndarray,
     padded = _pad_channels(config, channels, n_shards)
     tables, carr_basis, active = _track_inputs(config, padded)
     state0 = initial_state(config, padded)
-    final, ys = _track_channels_sharded(
+    final, ys, ovf = _track_channels_sharded(
         config, mesh, n_ms, jnp.asarray(signal), jax.tree.map(jnp.asarray, tables),
         jnp.asarray(carr_basis), jnp.asarray(active), state0)
     ys = jax.device_get(ys)
+    _check_overflow(np.max(jax.device_get(ovf)))
     res = _results_from_ys(padded, ys, n_channels)
     res.final_state = jax.tree.map(
         lambda x: np.asarray(x)[:n_channels], jax.device_get(final))
@@ -176,6 +173,8 @@ def propagate_state(config: ReceiverConfig, channels: Channels,
         carr_err=jnp.zeros(c, jnp.float64),
         code_nco=jnp.asarray(fc - fc_eff, jnp.float64),
         code_err=jnp.zeros(c, jnp.float64),
+        ms=jnp.full(c, start_ms, jnp.int64),
+        block_base=jnp.asarray(ptr - config.track_frame_pre, jnp.int64),
     )
 
 
@@ -183,14 +182,22 @@ def propagate_state(config: ReceiverConfig, channels: Channels,
 def _track_time_sharded(config: ReceiverConfig, mesh: Mesh, block_ms: int,
                         warmup_ms: int, signal_blocks, tail, tables,
                         carr_basis, active, states0):
-    """signal_blocks: (n_t * L,) int8 sharded over 'time'; tail: (2 spc,)
-    replicated; states0 leaves: (n_t, C)."""
+    """signal_blocks: (n_t * L,) int8 sharded over 'time'; tail:
+    ((warmup+2) spc,) replicated; states0 leaves: (n_t, C).
+
+    Schedule (total_steps = block + warmup everywhere, SPMD-uniform):
+    shard 0 tracks ms [0, block+warmup) from the exact acquisition state —
+    no idle warm-up; its overshoot into shard 1's block feeds the polarity
+    vote.  Shard b>0 tracks ms [b*block - warmup, (b+1)*block), re-locking
+    during the first ``warmup`` steps.  The last shard (any b>0 layout)
+    ends exactly at ms n_t*block, so its final state resumes the capture.
+    """
     t_axis, ch_axis = config.time_axis, config.channel_axis
     spc = config.samples_per_code
     n_t = mesh.shape[t_axis]
     block_len = block_ms * spc
     halo_prev = (warmup_ms + 1) * spc
-    halo_next = 2 * spc
+    halo_next = (warmup_ms + 2) * spc
     total_steps = warmup_ms + block_ms
 
     def shard_fn(sig_l, tail_r, tables_l, carr_basis_l, active_l, state_l):
@@ -211,26 +218,13 @@ def _track_time_sharded(config: ReceiverConfig, mesh: Mesh, block_ms: int,
         state_l = jax.tree.map(lambda x: x[0], state_l)   # drop unit time dim
         state_l = state_l._replace(ptr=state_l.ptr - base)
 
-        # shard 0 has no warm-up: it idles the first warmup_ms steps and
-        # starts from the exact acquisition state
-        first_active = jnp.where(b == 0, warmup_ms, 0)
-
-        def step_one(tab, cb, act, st):
-            return _channel_ms(config, assembled, tab, cb, act, st)
-
-        step_fn = jax.vmap(step_one, in_axes=(0, 0, 0, 0))
-
-        def step(state, k):
-            act = active_l & (k >= first_active)
-            new, outs = step_fn(tables_l, carr_basis_l, act, state)
-            outs = outs._replace(
-                absolute_sample=jnp.where(act, outs.absolute_sample + base, 0))
-            return new, outs
-
-        final, ys = jax.lax.scan(step, state_l, jnp.arange(total_steps))
+        final, ys, ovf = _scan_ms(config, assembled, tables_l, carr_basis_l,
+                                  active_l, total_steps, state_l)
+        ys = ys._replace(absolute_sample=jnp.where(
+            ys.absolute_sample != 0, ys.absolute_sample + base, 0))
         final = final._replace(ptr=final.ptr + base)      # back to global samples
         final = jax.tree.map(lambda x: x[None], final)    # add unit time dim
-        return final, jax.tree.map(lambda x: x[None], ys)
+        return final, jax.tree.map(lambda x: x[None], ys), ovf[None, None]
 
     state_specs = jax.tree.map(lambda _: P(t_axis, ch_axis), states0,
                                is_leaf=lambda x: x is not states0)
@@ -241,7 +235,8 @@ def _track_time_sharded(config: ReceiverConfig, mesh: Mesh, block_ms: int,
         out_specs=(state_specs,
                    jax.tree.map(lambda _: P(t_axis, None, ch_axis),
                                 MsOutputs(*[0] * 14),
-                                is_leaf=lambda x: not isinstance(x, MsOutputs))),
+                                is_leaf=lambda x: not isinstance(x, MsOutputs)),
+                   P(t_axis, ch_axis)),
     )
     return shard(signal_blocks, tail, tables, carr_basis, active, states0)
 
@@ -263,13 +258,13 @@ def track_time_sharded(config: ReceiverConfig, signal: np.ndarray,
     if n_ms % n_t:
         raise ValueError(f"n_ms={n_ms} not divisible by time shards={n_t}")
     block_ms = n_ms // n_t
-    if n_t > 1 and block_ms < 2:
+    if n_t > 1 and block_ms < 3:
         raise ValueError(f"time blocks of {block_ms} ms cannot host a warm-up")
-    # warmup <= block_ms - 1 keeps the halo (warmup+1 periods) within the
-    # neighbor's block, and >= 1 keeps the polarity-reconciliation vote
-    # non-empty
-    warmup = int(np.clip(config.time_shard_warmup_ms, 1, block_ms - 1)) if n_t > 1 \
-        else int(np.clip(config.time_shard_warmup_ms, 1, block_ms))
+    # warmup <= block_ms - 2 keeps both halos ((warmup+1) / (warmup+2)
+    # periods) within a neighbor's block; >= 1 keeps the polarity vote
+    # non-empty.  A single time shard is the sequential run: no boundary
+    # to heal, no warm-up.
+    warmup = int(np.clip(config.time_shard_warmup_ms, 1, block_ms - 2)) if n_t > 1 else 0
     spc = config.samples_per_code
     skip = config.skip_samples
     needed = skip + (n_ms + 2) * spc
@@ -280,44 +275,52 @@ def track_time_sharded(config: ReceiverConfig, signal: np.ndarray,
     padded = _pad_channels(config, channels, n_ch_shards)
     tables, carr_basis, active = _track_inputs(config, padded)
 
-    # per-shard initial states at ms (b*block - warmup), b=0 exact
+    # per-shard initial states: shard 0 exact at ms 0, b>0 propagated to
+    # ms (b*block - warmup)
     states = [propagate_state(config, padded, max(0, b * block_ms - warmup))
               for b in range(n_t)]
     states0 = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
     body = np.ascontiguousarray(signal[skip: skip + n_ms * spc])
-    tail = np.ascontiguousarray(signal[skip + n_ms * spc: skip + (n_ms + 2) * spc])
+    # the last shard's next-halo: the 2 real code periods past the capture
+    # body, zero-padded to the uniform (warmup+2)-period halo shape (the
+    # padding is never consumed — the last shard stops at ms n_ms)
+    tail = np.zeros((warmup + 2) * spc, body.dtype)
+    tail[:2 * spc] = signal[skip + n_ms * spc: skip + (n_ms + 2) * spc]
 
-    finals, ys = _track_time_sharded(
+    finals, ys, ovf = _track_time_sharded(
         config, mesh, block_ms, warmup, jnp.asarray(body), jnp.asarray(tail),
         jax.tree.map(jnp.asarray, tables), jnp.asarray(carr_basis),
         jnp.asarray(active), states0)
     ys = MsOutputs(*[np.asarray(leaf) for leaf in jax.device_get(ys)])
+    _check_overflow(np.max(jax.device_get(ovf)))
 
     # --- polarity reconciliation ------------------------------------------
     # A freshly re-locked Costas/atan PLL settles with a 50% 180-degree
     # phase ambiguity: shard b's correlators may be sign-flipped relative
-    # to shard b-1.  Shard b's warm-up steps [0, warmup) re-track the SAME
-    # milliseconds as shard b-1's final steps [block, block+warmup), so the
-    # overlap votes the relative polarity; flips accumulate across shards.
-    # atan discriminators and envelopes are (I,Q) -> (-I,-Q) invariant, so
+    # to shard b-1.  Shard b's warm-up steps re-track the SAME milliseconds
+    # [b*block - half, b*block) as shard b-1's late steps, so the overlap
+    # votes the relative polarity; flips accumulate across shards.  atan
+    # discriminators and envelopes are (I,Q) -> (-I,-Q) invariant, so
     # flipping the six correlator streams restores a continuous nav-bit
-    # polarity exactly.
+    # polarity exactly.  (Shard 0 starts at step 0, so ms m is its step m;
+    # shard b>0 starts warmup early, so ms m is its step m - b*block + warmup.)
     flips = np.ones((n_t, len(padded)))
     half = max(1, warmup // 2)
     for b in range(1, n_t):
-        prev = ys.i_p[b - 1, block_ms + warmup - half: block_ms + warmup]
+        prev_off = (block_ms if b == 1 else block_ms + warmup)
+        prev = ys.i_p[b - 1, prev_off - half: prev_off]
         cur = ys.i_p[b, warmup - half: warmup]
         dot = np.sum(np.sign(prev) * np.sign(cur), axis=0)   # (C,)
         flips[b] = flips[b - 1] * np.where(dot < 0, -1.0, 1.0)
 
-    # stitch: shard 0 contributes steps [warmup : warmup+block) == ms [0, block)
-    # (it idled its first warmup steps); shard b>0 contributes the same
-    # step range == ms [b*block, (b+1)*block)
+    # stitch: shard 0 contributes steps [0, block) == ms [0, block);
+    # shard b>0 contributes steps [warmup, warmup+block) == the same range
     def stitch(a, signed):                             # (n_t, steps, C)
         parts = []
         for b in range(n_t):
-            block = a[b, warmup:warmup + block_ms]
+            off = 0 if b == 0 else warmup
+            block = a[b, off:off + block_ms]
             parts.append(block * flips[b][None, :].astype(a.dtype) if signed else block)
         return np.concatenate(parts)
 

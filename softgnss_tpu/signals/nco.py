@@ -25,6 +25,7 @@ Requires jax_enable_x64 (int64); enabled at package import.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 #: carrier phase fractional bits (uint32 turns)
@@ -102,15 +103,28 @@ def sin_turns(x):
                                         + t2 * 42.05869394489765))))
 
 
+def carrier_turns(phase0_i32, step_i32, k_i32):
+    """Carrier NCO phase at sample offsets ``k``, in turns [0, 1), f32.
+
+    Built from the top 23 NCO bits directly as an f32 mantissa
+    (1.0 + u/2^32 is exactly representable): 0x3F800000 | (u >> 9).  This
+    skips the u32->f32 convert, which lowers poorly on the TPU VPU; the
+    2^-23-turn truncation (~7.5e-7 rad) is far below the sine
+    polynomial's own ~4e-6 error.
+    """
+    counts = phase0_i32 + step_i32 * k_i32
+    u = counts.astype(jnp.uint32)
+    mant = (u >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+    return jax.lax.bitcast_convert_type(mant, jnp.float32) - jnp.float32(1.0)
+
+
 def carrier_sin_cos(phase0_i32, step_i32, k_i32):
     """(sin, cos) of the carrier NCO phase at sample offsets ``k``.
 
     Same phase semantics as :func:`carrier_angles` but in turns with the
     polynomial sine — fully fusing on TPU.
     """
-    counts = phase0_i32 + step_i32 * k_i32
-    u = counts.astype(jnp.uint32)
-    turns = u.astype(jnp.float32) * jnp.float32(1.0 / _TWO32)
+    turns = carrier_turns(phase0_i32, step_i32, k_i32)
     return sin_turns(turns), sin_turns(turns + 0.25)
 
 

@@ -42,17 +42,19 @@ from softgnss_tpu.config import ReceiverConfig
 from softgnss_tpu.signals.nco import (
     CODE_FRAC_BITS,
     CODE_ONE,
-    carrier_sin_cos,
     carrier_step_u32,
+    carrier_turns,
     ceil_chip_index,
     chips_to_q,
     code_step_q,
+    sin_turns,
 )
 from softgnss_tpu.track.tables import (
     CorrelatorTables,
     build_tables,
     onehot_width,
     subdivision,
+    tile_starts,
 )
 
 
@@ -68,6 +70,12 @@ class TrackState(NamedTuple):
     carr_err: jnp.ndarray     # f64: previous PLL discriminator
     code_nco: jnp.ndarray     # f64: DLL filter accumulator
     code_err: jnp.ndarray     # f64: previous DLL discriminator
+    ms: jnp.ndarray           # i64: milliseconds tracked so far
+    #: i64: frame anchor (ptr - track_frame_pre at entry) of the ms-grid
+    #: block this state sits in — lets a resumed run rebuild the SAME
+    #: static frames as the uninterrupted run, keeping resume bit-exact
+    #: in block mode (see _scan_ms)
+    block_base: jnp.ndarray
 
 
 class MsOutputs(NamedTuple):
@@ -128,8 +136,9 @@ def initial_state(config: ReceiverConfig, channels: Channels) -> TrackState:
     """Loop state at the first millisecond (reference: tracking.py:107-130)."""
     c = len(channels)
     active = np.asarray([s == "T" for s in channels.status])
+    ptr = jnp.asarray(config.skip_samples + channels.code_phase, jnp.int64)
     return TrackState(
-        ptr=jnp.asarray(config.skip_samples + channels.code_phase, jnp.int64),
+        ptr=ptr,
         carr_phase=jnp.zeros(c, jnp.int32),
         code_rem_q=jnp.zeros(c, jnp.int64),
         carr_freq=jnp.asarray(channels.acquired_freq, jnp.float64),
@@ -138,6 +147,8 @@ def initial_state(config: ReceiverConfig, channels: Channels) -> TrackState:
         carr_err=jnp.zeros(c, jnp.float64),
         code_nco=jnp.zeros(c, jnp.float64),
         code_err=jnp.zeros(c, jnp.float64),
+        ms=jnp.zeros(c, jnp.int64),
+        block_base=ptr - config.track_frame_pre,
     )
 
 
@@ -159,29 +170,79 @@ def _correlate_gather(config: ReceiverConfig, tables, tq, i_bb, q_bb):
             jnp.sum(early * q_bb), jnp.sum(prompt * q_bb), jnp.sum(late * q_bb))
 
 
-def _correlate_onehot(config: ReceiverConfig, tables, tq, i_bb, q_bb):
+def _correlate_onehot(config: ReceiverConfig, tables, rem_q, step_q, bb2):
     """Gather-free correlators: tile-local half-chip one-hot contraction.
 
     Same sums as the gather formulation (see softgnss_tpu.track.tables):
-    the half-chip index h = ceil(2*tq) selects E/P/L code values through
+    the half-chip index h = ceil(S*tq) at frame sample k (code phase
+    tq = rem_q + step_q*k in Q40 chips) selects E/P/L code values through
     static per-tile tables, so the per-ms compute is pure elementwise ops
     plus two small batched matmuls — the TPU fast path.
+
+    ``bb2`` is the baseband as ONE (2, ...) array (I plane then Q plane —
+    a single producer chain; separate i/q operands make XLA split the
+    mix into two fusions that each redo the unpack/NCO/mask work), in the
+    tile order of tables.tile_starts: consecutive samples when
+    config.track_pack == 1, byte-plane order (plane axis major, frame
+    sample pack*i + b at position (b, i)) when the capture is consumed
+    through an int32 view.  Either way tile t covers samples
+    k0[t] + pack*i, i in [0, track_tile), so every array keeps a full
+    track_tile-lane minor dimension — no interleave is ever materialized.
+
+    ``h`` is evaluated with EXACT 32-bit digit arithmetic (per-tile i64
+    scalars + base-2^24 in-tile digits): a direct int64 vector formulation
+    does not fuse on TPU (int64 is emulated) and materializes an
+    (n_tiles, tile) i32 index per channel per ms — at 12 channels that is
+    ~18 MB of HBM round-trip per millisecond, several times the cost of
+    the correlator math itself.
     """
     tile = config.track_tile
+    pack = config.track_pack
     t_count = config.track_window // tile
     w = onehot_width(config)
     s_div = subdivision(config)
+    if tile > 128:
+        raise ValueError("track_tile > 128 overflows the i32 in-tile digits")
 
-    # ceil(S*tq) via the Q40 representation: integer ceil of x/2^40 with
-    # x = S*tq_q (S static; x stays well inside int64)
-    h = ((tq * s_div) + (CODE_ONE - 1)) >> CODE_FRAC_BITS         # (W,) i64
-    h_local = (h.reshape(t_count, tile) - tables.h_base[:, None]).astype(jnp.int32)
-    iota_w = jnp.arange(w, dtype=jnp.int32)
+    mask24 = (1 << 24) - 1
+    #: sub-chip bias keeping every tile-start phase positive: the frame
+    #: o-shift makes rem_q as negative as ~ -2*track_frame_pre samples of
+    #: code; verify the static bound so the digit identity stays exact
+    bias = 1 << 10
+    s_chips = config.code_freq_basis / config.sampling_freq
+    assert s_div * s_chips * (2 * config.track_frame_pre + 64) < bias, (
+        "track_frame_pre too large for the one-hot phase bias")
+    s_q = step_q * s_div                                     # i64 scalar
+    k0 = jnp.asarray(tile_starts(config), jnp.int64)         # (T,)
+    # ceil(x/2^40) = (x + 2^40 - 1) >> 40; fold the +const into the base
+    a_t = (rem_q * s_div + (CODE_ONE - 1) + (jnp.int64(bias) << CODE_FRAC_BITS)
+           + s_q * k0)                                       # (T,) i64, > 0
+    hi_t = (a_t >> CODE_FRAC_BITS).astype(jnp.int32)         # (T,)
+    lo_t = a_t & (CODE_ONE - 1)                              # (T,) in [0, 2^40)
+    lo_hi = (lo_t >> 24).astype(jnp.int32)                   # (T,) < 2^16
+    lo_lo = (lo_t & mask24).astype(jnp.int32)                # (T,) < 2^24
+    s_qp = s_q * pack                                        # step between tile lanes
+    s_hi = (s_qp >> 24).astype(jnp.int32)
+    s_lo = (s_qp & mask24).astype(jnp.int32)
+    j = jnp.arange(tile, dtype=jnp.int32)                    # (tile,)
+    # (lo_t + s_qp*j) >> 40 in digits: d0 < 2^24 + 2^24*127 < 2^31
+    d0 = lo_lo[:, None] + s_lo * j[None, :]                  # (T, tile) i32
+    h = (hi_t[:, None]
+         + ((lo_hi[:, None] + s_hi * j[None, :] + (d0 >> 24)) >> 16))
+    h_local = h - (tables.h_base.astype(jnp.int32) + bias)[:, None]
+    # squeeze the per-sample index to int8 when the window allows: the
+    # (T, tile) index is the one large per-ms intermediate XLA materializes
+    # to HBM, and s8 quarters that traffic.  Out-of-window values (masked
+    # samples) clamp to sentinels that match no iota row.
+    if w < 127:
+        h_local = jnp.clip(h_local, -1, w).astype(jnp.int8)
+        iota_w = jnp.arange(w, dtype=jnp.int8)
+    else:
+        iota_w = jnp.arange(w, dtype=jnp.int32)
     oh = (h_local[:, :, None] == iota_w[None, None, :]).astype(jnp.float32)
 
-    bb = jnp.stack([i_bb.reshape(t_count, tile),
-                    q_bb.reshape(t_count, tile)], axis=-1)        # (T, tile, 2)
-    u = jnp.einsum("tkw,tkc->twc", oh, bb,
+    bb = bb2.reshape(2, t_count, tile)                            # (2, T, tile)
+    u = jnp.einsum("tkw,ctk->twc", oh, bb,
                    preferred_element_type=jnp.float32)            # (T, w, 2)
     corr = jnp.einsum("twc,twx->xc", u, tables.codes_static,
                       preferred_element_type=jnp.float32)         # (3, 2)
@@ -189,9 +250,23 @@ def _correlate_onehot(config: ReceiverConfig, tables, tq, i_bb, q_bb):
             corr[0, 1], corr[1, 1], corr[2, 1])
 
 
-def _channel_ms(config: ReceiverConfig, signal, tables, carr_basis, active, st: TrackState):
-    """One millisecond of one channel. All inputs per-channel scalars except
-    ``signal`` (shared capture) and ``tables`` (per-channel static arrays)."""
+def _frame_ms(config: ReceiverConfig, frame, base_ptr, tables, carr_basis,
+              active, st: TrackState):
+    """One millisecond of one channel against a pre-extracted sample frame.
+
+    ``frame``: (track_window,) raw samples whose first element is absolute
+    capture sample ``base_ptr``.  The millisecond's code period starts
+    ``o = st.ptr - base_ptr`` samples into the frame (o = 0 on the per-ms
+    path; in block mode o floats in [0, 2*track_frame_pre) as the true ms
+    boundaries drift off the nominal samples_per_code grid).  The code /
+    carrier NCO phases are anchored at ``st.ptr`` exactly as in the per-ms
+    formulation — identical integer phase sequences at identical absolute
+    samples — so block mode changes only f32 accumulation grouping.
+
+    Returns (new_state, outputs, overflow); ``overflow`` > 0 means the true
+    span [o, o+blk) left the frame and the result is invalid (the caller
+    raises — grow config.track_frame_margin).
+    """
     fs = config.sampling_freq
     blk_win = config.track_window
     code_len_q = config.code_length * CODE_ONE
@@ -199,30 +274,111 @@ def _channel_ms(config: ReceiverConfig, signal, tables, carr_basis, active, st: 
     # --- block size from exact integer code NCO ---------------------------
     step_q = code_step_q(st.code_freq, fs)
     blk = (code_len_q - st.code_rem_q + step_q - 1) // step_q    # i64 scalar
+    o = st.ptr - base_ptr                                        # i64 scalar
+    ovf = jnp.where(active,
+                    jnp.maximum(jnp.maximum(-o, o + blk - blk_win), 0),
+                    jnp.int64(0))
 
-    raw = jax.lax.dynamic_slice(signal, (st.ptr,), (blk_win,)).astype(jnp.float32)
-    k64 = jnp.arange(blk_win, dtype=jnp.int64)
-    mask = k64 < blk
-    raw = jnp.where(mask, raw, 0.0)
+    o32 = o.astype(jnp.int32)
+    k32 = jnp.arange(blk_win, dtype=jnp.int32)
+    mask = (k32 >= o32) & (k32 < o32 + blk.astype(jnp.int32))
+    raw = jnp.where(mask, frame.astype(jnp.float32), 0.0)
 
-    tq = st.code_rem_q + step_q * k64                             # Q40 chips
+    rem_eff = st.code_rem_q - step_q * o                  # Q40 chips at frame[0]
 
     # --- carrier mix via uint32 NCO (reference: tracking.py:192-207) -------
     w = carrier_step_u32(st.carr_freq, fs)
-    sin_v, cos_v = carrier_sin_cos(st.carr_phase, w, jnp.arange(blk_win, dtype=jnp.int32))
-    i_bb = sin_v * raw
-    q_bb = cos_v * raw
+    turns = carrier_turns(st.carr_phase - w * o32, w, k32)
+    bb2 = sin_turns(jnp.stack([turns, turns + 0.25])) * raw[None]  # (2, W)
 
     # --- six correlators (reference: tracking.py:209-219) ------------------
     if config.correlator_impl == "onehot":
-        i_e, i_p, i_l, q_e, q_p, q_l = _correlate_onehot(config, tables, tq, i_bb, q_bb)
+        if config.track_pack != 1:
+            raise ValueError(
+                "flat _frame_ms used with byte-plane tables "
+                "(config.track_pack > 1); use _frame_ms_packed")
+        i_e, i_p, i_l, q_e, q_p, q_l = _correlate_onehot(
+            config, tables, rem_eff, step_q, bb2)
     elif config.correlator_impl == "gather":
-        i_e, i_p, i_l, q_e, q_p, q_l = _correlate_gather(config, tables, tq, i_bb, q_bb)
+        tq = rem_eff + step_q * jnp.arange(blk_win, dtype=jnp.int64)
+        i_e, i_p, i_l, q_e, q_p, q_l = _correlate_gather(
+            config, tables, tq, bb2[0], bb2[1])
     else:
         raise ValueError(f"unknown correlator_impl {config.correlator_impl!r}")
 
-    return _filters_and_outputs(config, carr_basis, active, st, step_q, blk, w,
-                                (i_e, i_p, i_l, q_e, q_p, q_l))
+    new, outs = _filters_and_outputs(config, carr_basis, active, st, step_q, blk, w,
+                                     (i_e, i_p, i_l, q_e, q_p, q_l))
+    return new, outs, ovf
+
+
+def _frame_ms_packed(config: ReceiverConfig, frame32, base_ptr, tables,
+                     carr_basis, active, st: TrackState):
+    """One millisecond of one channel against an int32-PACKED sample frame.
+
+    ``frame32``: (track_window/4,) i32, four little-endian int8 samples per
+    element, sample 4m+b in byte b of element m.  Samples are processed in
+    byte-plane order (plane axis major) so no interleave is ever
+    materialized; every sum is over the same sample set as
+    :func:`_frame_ms`, so the state recurrence is identical up to f32
+    accumulation grouping inside the one-hot contraction.
+    """
+    fs = config.sampling_freq
+    blk_win = config.track_window
+    code_len_q = config.code_length * CODE_ONE
+
+    step_q = code_step_q(st.code_freq, fs)
+    blk = (code_len_q - st.code_rem_q + step_q - 1) // step_q    # i64 scalar
+    o = st.ptr - base_ptr                                        # i64 scalar
+    ovf = jnp.where(active,
+                    jnp.maximum(jnp.maximum(-o, o + blk - blk_win), 0),
+                    jnp.int64(0))
+
+    # byte planes: v[b, m] = sample pack*m+b, sign-extended (little-endian)
+    pk = config.track_pack
+    shr = 8 * (pk - 1)
+    shl = jnp.array([8 * (pk - 1 - b) for b in range(pk)],
+                    frame32.dtype)
+    v = ((frame32[None, :] << shl[:, None]) >> shr).astype(jnp.float32)
+    m32 = jnp.arange(blk_win // pk, dtype=jnp.int32)
+    k32 = pk * m32[None, :] + jnp.arange(pk, dtype=jnp.int32)[:, None]
+    o32 = o.astype(jnp.int32)
+    mask = (k32 >= o32) & (k32 < o32 + blk.astype(jnp.int32))
+    raw = jnp.where(mask, v, 0.0)
+
+    rem_eff = st.code_rem_q - step_q * o
+
+    w = carrier_step_u32(st.carr_freq, fs)
+    turns = carrier_turns(st.carr_phase - w * o32, w, k32)
+    bb2 = sin_turns(jnp.stack([turns, turns + 0.25])) * raw[None]  # (2,4,W/4)
+
+    i_e, i_p, i_l, q_e, q_p, q_l = _correlate_onehot(
+        config, tables, rem_eff, step_q, bb2)
+
+    new, outs = _filters_and_outputs(config, carr_basis, active, st, step_q, blk, w,
+                                     (i_e, i_p, i_l, q_e, q_p, q_l))
+    return new, outs, ovf
+
+
+def _channel_ms(config: ReceiverConfig, signal, tables, carr_basis, active, st: TrackState):
+    """One millisecond of one channel, slicing its window from the capture.
+    All inputs per-channel scalars except ``signal`` (shared capture) and
+    ``tables`` (per-channel static arrays)."""
+    if config.track_pack > 1:
+        # tables are in byte-plane tile order: consume the capture through
+        # the packed view (word-aligned; the <=3-sample shift rides o)
+        pk = config.track_pack
+        sigp = jax.lax.bitcast_convert_type(
+            signal[:signal.shape[0] // pk * pk].reshape(-1, pk),
+            jnp.int16 if pk == 2 else jnp.int32)
+        start = st.ptr // pk
+        frame = jax.lax.dynamic_slice(sigp, (start,),
+                                      (config.track_window // pk,))
+        new, outs, _ = _frame_ms_packed(config, frame, start * pk, tables,
+                                        carr_basis, active, st)
+        return new, outs
+    frame = jax.lax.dynamic_slice(signal, (st.ptr,), (config.track_window,))
+    new, outs, _ = _frame_ms(config, frame, st.ptr, tables, carr_basis, active, st)
+    return new, outs
 
 
 def _filters_and_outputs(config: ReceiverConfig, carr_basis, active, st,
@@ -265,6 +421,8 @@ def _filters_and_outputs(config: ReceiverConfig, carr_basis, active, st,
         carr_err=carr_err,
         code_nco=code_nco,
         code_err=code_err,
+        ms=st.ms + 1,
+        block_base=st.block_base,
     )
     new = jax.tree.map(lambda n, o: jnp.where(active, n, o), new, st)
 
@@ -321,9 +479,161 @@ def _channels_ms_pallas(config: ReceiverConfig, signal, codes_t, h_base,
                                 carr_w, corr6)
 
 
-@partial(jax.jit, static_argnums=(0, 5))
+def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
+             carr_basis, active, n_ms: int, state0: TrackState,
+             start_ms: int = 0):
+    """Scan ``n_ms`` milliseconds for all (vmapped) channels.
+
+    With ``config.track_block_ms`` B > 1, per-channel capture windows are
+    extracted one *block* at a time: a single batched dynamic_slice fetches
+    (r+1) code periods per channel, which two reshapes re-frame into r
+    static windows at samples_per_code spacing.  The inner per-ms scan then
+    does no data-dependent slicing at all — the naive per-ms formulation
+    spends more time in its vmapped dynamic_slice (an XLA gather with
+    batched starts) than in the correlator math.  Each block re-anchors at
+    the exact channel pointers, so frame drift never accumulates beyond one
+    block (bounded by track_frame_pre; overflow is detected, not silent).
+
+    Blocks are aligned to the ABSOLUTE ms grid ``start_ms + k*B`` with
+    anchors carried in ``TrackState.block_base``, so the f32 accumulation
+    grouping (frame tiling) depends only on the absolute millisecond, not
+    on where a run started or stopped: a resumed run is bit-exact against
+    the uninterrupted one (tests/test_resume_profiling.py), except within
+    (B+1) code periods of the capture end where buffer clamping may regroup
+    a frame.  Shared by the single-device tracker and the shard_map-sharded
+    variants (softgnss_tpu.parallel.track).
+    Returns (final_state, ys, overflow).
+    """
+    spc = config.samples_per_code
+    win = config.track_window
+    pre = config.track_frame_pre
+    sig_len = signal.shape[0]
+    B = config.track_block_ms
+
+    # The capture is consumed through an int32 view when
+    # config.track_pack == 4 (the correlator tables are built in the
+    # matching byte-plane tile order — see tables.tile_starts): the
+    # batched-start per-channel buffer slice lowers to a channel loop
+    # whose row writes are tile-misaligned, and on int8 the (4,1) byte
+    # packing makes those writes ~20x slower than HBM speed;
+    # 4-samples-per-element recovers most of it.  The packed words are
+    # consumed DIRECTLY by the byte-plane correlator (_frame_ms_packed) —
+    # unpacking to sample order on TPU materializes a minor-dim-4
+    # interleave at catastrophic layouts.  The <=3-sample word-alignment
+    # shift rides the frame o-offset (a deterministic function of the
+    # anchor, so resume grouping is unaffected).
+    pack = config.track_pack
+    if pack > 1:
+        if signal.dtype != jnp.int8:
+            raise ValueError(
+                f"track_pack={pack} requires an int8 capture, got {signal.dtype}")
+        sig_pack = jax.lax.bitcast_convert_type(
+            signal[:sig_len // pack * pack].reshape(-1, pack),
+            jnp.int16 if pack == 2 else jnp.int32)
+        step_fn_packed = jax.vmap(
+            lambda frame, base, tab, cb, act, st: _frame_ms_packed(
+                config, frame, base, tab, cb, act, st),
+            in_axes=(0, 0, 0, 0, 0, 0))
+    else:
+        step_fn = jax.vmap(
+            lambda frame, base, tab, cb, act, st: _frame_ms(
+                config, frame, base, tab, cb, act, st),
+            in_axes=(0, 0, 0, 0, 0, 0))
+
+    def ms_step(carry, _):
+        st, ovf = carry
+        if pack > 1:
+            start = st.ptr // pack
+            frames = jax.vmap(lambda p: jax.lax.dynamic_slice(
+                sig_pack, (p,), (win // pack,)))(start)
+            new, outs, ov = step_fn_packed(frames, start * pack, tables,
+                                           carr_basis, active, st)
+        else:
+            frames = jax.vmap(
+                lambda p: jax.lax.dynamic_slice(signal, (p,), (win,)))(st.ptr)
+            new, outs, ov = step_fn(frames, st.ptr, tables, carr_basis, active, st)
+        return (new, jnp.maximum(ovf, ov.max())), outs
+
+    # derive the zero from the state so it inherits any shard_map
+    # "varying" axis tags (a literal 0 carry would type-mismatch the
+    # channel-varying overflow inside sharded scans)
+    zero = jnp.max(state0.ptr) * 0
+    phase = start_ms % B if B > 1 else 0
+    lead = min(B - phase, n_ms) if phase else 0
+    n_full = (n_ms - lead) // B if B > 1 else 0
+    r_tail = n_ms - lead - n_full * B if B > 1 else 0
+    longest = max(lead, B if n_full else 0, r_tail)
+    use_blocks = B > 1 and spc < win <= 2 * spc and sig_len >= (longest + 1) * spc
+    if not use_blocks:
+        (final, ovf), ys = jax.lax.scan(ms_step, (state0, zero), None, length=n_ms)
+        return final, ys, ovf
+
+    def scan_segment(carry, base, p0: int, r: int):
+        """Run frames for grid-block milliseconds [p0, p0+r) anchored at
+        per-channel ``base`` (the block's ms-0 frame anchor).
+
+        The ONLY batched-start (gather-lowered) slice is the per-block
+        buffer fetch; each ms then takes its frame from the buffer at a
+        channel-SHARED offset j*spc — a plain dynamic_slice — with the
+        per-channel sub-offset handled by the o-shift inside _frame_ms.
+        """
+        buf_len = (r + 1) * spc
+        start = jnp.clip(base + p0 * spc, 0, sig_len // pack * pack - buf_len)
+        if pack > 1:
+            start = start // pack * pack
+            buf = jax.vmap(lambda p: jax.lax.dynamic_slice(
+                sig_pack, (p // pack,), (buf_len // pack,)))(start)
+        else:
+            buf = jax.vmap(
+                lambda p: jax.lax.dynamic_slice(signal, (p,), (buf_len,)))(start)
+        c_dim = buf.shape[0]
+
+        def inner(carry2, j):
+            st2, ovf2 = carry2
+            fb = start + j * spc
+            if pack > 1:
+                frame = jax.lax.dynamic_slice(
+                    buf, (0, j * (spc // pack)), (c_dim, win // pack))
+                new, outs, ov = step_fn_packed(frame, fb, tables, carr_basis,
+                                               active, st2)
+            else:
+                frame = jax.lax.dynamic_slice(buf, (0, j * spc), (c_dim, win))
+                new, outs, ov = step_fn(frame, fb, tables, carr_basis, active, st2)
+            return (new, jnp.maximum(ovf2, ov.max())), outs
+
+        return jax.lax.scan(inner, carry, jnp.arange(r, dtype=jnp.int64),
+                            unroll=min(config.track_unroll, r))
+
+    carry = (state0, zero)
+    parts = []
+    if lead:   # finish the grid block a resumed run stopped inside
+        carry, ys_l = scan_segment(carry, state0.block_base, phase, lead)
+        parts.append(ys_l)
+    if n_full:
+        def block_step(carry2, _):
+            st, ovf = carry2
+            base = st.ptr - pre
+            return scan_segment((st._replace(block_base=base), ovf), base, 0, B)
+
+        carry, ys_b = jax.lax.scan(block_step, carry, None, length=n_full)
+        parts.append(jax.tree.map(
+            lambda a: a.reshape((n_full * B,) + a.shape[2:]), ys_b))
+    if r_tail:
+        st, ovf = carry
+        base = st.ptr - pre
+        carry, ys_t = scan_segment((st._replace(block_base=base), ovf), base,
+                                   0, r_tail)
+        parts.append(ys_t)
+    final, ovf = carry
+    ys = (parts[0] if len(parts) == 1
+          else jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts))
+    return final, ys, ovf
+
+
+@partial(jax.jit, static_argnums=(0, 5, 7))
 def _track_device(config: ReceiverConfig, signal, tables: CorrelatorTables,
-                  carr_basis, active, n_ms: int, state0: TrackState):
+                  carr_basis, active, n_ms: int, state0: TrackState,
+                  start_ms: int = 0):
     """Scan over milliseconds with channels vmapped (or channel-batched
     through the fused Pallas kernel when correlator_impl='pallas')."""
 
@@ -334,17 +644,22 @@ def _track_device(config: ReceiverConfig, signal, tables: CorrelatorTables,
         def step(state, _):
             return _channels_ms_pallas(config, signal, codes_t, h_base,
                                        carr_basis, active, state)
-    else:
-        step_fn = jax.vmap(
-            lambda tab, cb, act, st: _channel_ms(config, signal, tab, cb, act, st),
-            in_axes=(0, 0, 0, 0),
-        )
 
-        def step(state, _):
-            return step_fn(tables, carr_basis, active, state)
+        final, ys = jax.lax.scan(step, state0, None, length=n_ms)
+        return final, ys, jnp.int64(0)
 
-    final, ys = jax.lax.scan(step, state0, None, length=n_ms)
-    return final, ys
+    return _scan_ms(config, signal, tables, carr_basis, active, n_ms, state0,
+                    start_ms)
+
+
+def _check_overflow(ovf) -> None:
+    """Raise if any block-mode frame failed to contain its ms span."""
+    n = int(jax.device_get(ovf))
+    if n > 0:
+        raise RuntimeError(
+            f"tracking frame overflowed its static window by {n} samples — "
+            "code-phase drift within a block exceeded the frame slack; "
+            "increase config.track_frame_margin or reduce track_block_ms")
 
 
 def track(config: ReceiverConfig, signal: np.ndarray, channels: Channels,
@@ -371,12 +686,16 @@ def track(config: ReceiverConfig, signal: np.ndarray, channels: Channels,
 
     if state is None:
         state = initial_state(config, channels)
+        start_ms = 0
+    else:
+        start_ms = int(np.max(np.asarray(state.ms)))
 
-    final, ys = _track_device(
+    final, ys, ovf = _track_device(
         config, jnp.asarray(signal), jax.tree.map(jnp.asarray, tables),
         jnp.asarray(channels.acquired_freq, jnp.float64), jnp.asarray(active),
-        n_ms, state)
+        n_ms, state, start_ms)
     ys = jax.device_get(ys)
+    _check_overflow(ovf)
 
     return TrackResults(
         final_state=jax.tree.map(np.asarray, jax.device_get(final)),

@@ -72,11 +72,40 @@ def subdivision(config: ReceiverConfig) -> int:
         "correlator_impl='gather'")
 
 
-def onehot_width(config: ReceiverConfig) -> int:
-    """Static width of the tile-local sub-chip window."""
+def _frame_shift_subchips(config: ReceiverConfig) -> int:
+    """Sub-chips the code phase at a fixed frame position can sit BELOW the
+    o=0 nominal, in block mode: the ms start floats at sample offset
+    o in [0, 2*track_frame_pre) inside its static frame, shifting every
+    tile's chip phase down by up to o chips-per-sample."""
     s = subdivision(config)
-    per_tile = s * config.track_tile * config.code_freq_basis / config.sampling_freq
-    w = int(np.ceil(per_tile)) + s + 4
+    s_chips = config.code_freq_basis / config.sampling_freq
+    return int(np.ceil(s * s_chips * 2 * config.track_frame_pre))
+
+
+def tile_starts(config: ReceiverConfig) -> np.ndarray:
+    """(n_tiles,) frame-sample index where each correlator tile begins.
+
+    pack=1: tile t covers consecutive samples [tile*t, tile*(t+1)).
+    pack=4 (int32-packed capture, byte-plane order): tile t = (b, t'') with
+    b = t // (T/4) covers samples {4*(tile*t'' + i) + b : i in [0, tile)} —
+    stride-4 samples of one byte plane, spanning 4*tile real samples from
+    k0 = 4*tile*t'' + b.  Every tile keeps ``track_tile`` lanes; only the
+    tile -> sample mapping changes.
+    """
+    pack = config.track_pack
+    t_total = config.track_window // config.track_tile
+    t_idx = np.arange(t_total)
+    t_pp = t_total // pack
+    return pack * config.track_tile * (t_idx % t_pp) + t_idx // t_pp
+
+
+def onehot_width(config: ReceiverConfig) -> int:
+    """Static width of the tile-local sub-chip window (covers one tile's
+    real-sample span: track_tile*track_pack samples)."""
+    s = subdivision(config)
+    span = config.track_tile * config.track_pack
+    per_tile = s * span * config.code_freq_basis / config.sampling_freq
+    w = int(np.ceil(per_tile)) + s + 4 + _frame_shift_subchips(config)
     return (w + 7) // 8 * 8
 
 
@@ -121,7 +150,8 @@ def build_tables(config: ReceiverConfig, prns: np.ndarray,
     codes_static = np.zeros((c, t_count, w, 3), np.float32)
     h_base = np.zeros((c, t_count), np.int64)
 
-    t_idx = np.arange(t_count)
+    k0 = tile_starts(config)                               # (T,)
+    shift = _frame_shift_subchips(config)
     for i in range(c):
         if prns[i] <= 0:
             continue
@@ -132,7 +162,8 @@ def build_tables(config: ReceiverConfig, prns: np.ndarray,
                    else acquired_freq[i] - config.intermediate_freq)
         fc_eff = config.code_freq_basis * (1.0 + doppler / config.l1_freq)
         s_chips = fc_eff / config.sampling_freq            # chips per sample
-        base = np.floor(s_div * s_chips * tile * t_idx).astype(np.int64) - _H_OFFSET
+        base = (np.floor(s_div * s_chips * k0).astype(np.int64)
+                - _H_OFFSET - shift)
         h_base[i] = base
         idx = base[:, None] + np.arange(w)[None, :]        # (T, w)
         codes_static[i] = sub[np.clip(idx, 0, len(sub) - 1)]
