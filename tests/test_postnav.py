@@ -217,6 +217,22 @@ class TestPostNavigate:
         raw_err, sm_err = scatter(raw_sol), scatter(sm_sol)
         assert sm_err < 0.5 * raw_err, (raw_err, sm_err)
 
+    def test_calculate_pseudoranges_matches_epoch_scan(self, nav_case):
+        """The reference-parity API (postNavigation.py:27-72) agrees with
+        the raw pseudoranges the jitted epoch scan computes at epoch 0."""
+        from softgnss_tpu.nav.solve import calculate_pseudoranges
+
+        config, rx, ephs, track, _ = nav_case
+        sol, _ = post_navigate(config, track)
+        active = np.flatnonzero(sol.prn[:, 0] > 0)
+        assert active.size >= 4
+        p = calculate_pseudoranges(config, np.asarray(track.absolute_sample),
+                                   sol.first_subframe, active)
+        np.testing.assert_allclose(p[active], sol.raw_p[active, 0],
+                                   rtol=0, atol=1e-6)
+        # sanity: plausible GPS ranges and finite only on active channels
+        assert np.all((p[active] > 1.8e7) & (p[active] < 3e7))
+
     def test_too_short_record(self, nav_case):
         config, rx, ephs, track, _ = nav_case
         short = FakeTrack()
