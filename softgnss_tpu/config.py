@@ -106,6 +106,18 @@ class ReceiverConfig:
     #: (reference: initialize.py:156)
     true_position: tuple[float, float, float] | None = None
 
+    # --- lock monitoring (beyond the reference: tracking.py:253-275 logs
+    # --- the observables but never reacts to lock loss) -----------------------
+    #: demote channels that lose lock: navigation excludes a channel from
+    #: every epoch after its C/N0 or phase-lock indicator collapses
+    lock_demotion: bool = True
+    #: lock-metric window, ms (Van Dierendonck C/N0 estimator span)
+    lock_window_ms: int = 1000
+    #: C/N0 floor, dB-Hz: windows below it count as unlocked
+    lock_cn0_threshold_dbhz: float = 28.0
+    #: phase-lock (NBD/NBP) floor: ~1 phase-locked, ~0 tracking noise
+    lock_pll_threshold: float = 0.5
+
     # --- plotting ------------------------------------------------------------
     #: draw per-channel tracking dashboards (reference: initialize.py:165;
     #: note the reference's gate is inverted — initialize.py:521 plots when

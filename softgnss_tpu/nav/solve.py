@@ -111,19 +111,21 @@ def calculate_pseudoranges(config: ReceiverConfig, absolute_sample: np.ndarray,
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
-                travel_time, transmit_times, doppler_meas):
+                travel_time, transmit_times, doppler_meas, lock_ok):
     """Scan over measurement epochs.
 
     packed_eph: (C, F); base_mask: (C,) bool; travel_time: (C, E) ms units;
-    transmit_times: (E,) s; doppler_meas: (C, E) measured carrier Doppler, Hz.
+    transmit_times: (E,) s; doppler_meas: (C, E) measured carrier Doppler, Hz;
+    lock_ok: (C, E) bool — False once a channel's tracking lock was lost
+    (lock demotion, profiling.channel_lock_loss).
     """
     elev_mask = config.elevation_mask_deg
     c_light = config.speed_of_light
     lam = c_light / config.l1_freq
 
     def step(sat_elev, inputs):
-        travel, t_tx, doppler = inputs
-        mask = base_mask & (sat_elev >= elev_mask)
+        travel, t_tx, doppler, locked = inputs
+        mask = base_mask & locked & (sat_elev >= elev_mask)
 
         # pseudoranges: masked min (reference postNavigation.py:52-71)
         tmin = jnp.floor(jnp.min(jnp.where(mask, travel, jnp.inf)))
@@ -181,7 +183,8 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
 
     init_elev = jnp.full(base_mask.shape, jnp.inf)
     _, outs = jax.lax.scan(step, init_elev,
-                           (travel_time.T, transmit_times, doppler_meas.T))
+                           (travel_time.T, transmit_times, doppler_meas.T,
+                            lock_ok.T))
     return outs
 
 
@@ -247,6 +250,29 @@ def post_navigate(config: ReceiverConfig, track) -> tuple[NavSolutions | None, l
 
     base_mask = np.zeros(c_ch, bool)
     base_mask[active] = True
+
+    # --- lock demotion (beyond the reference, which tracks noise forever:
+    # --- tracking.py:253-275 logs observables but never reacts) ------------
+    # channels whose C/N0 or phase-lock collapsed are excluded from every
+    # epoch at/after the collapse; earlier epochs (and the ephemeris decode,
+    # protected by parity + the TOW vote above) still use them.
+    lock_ok = np.ones((c_ch, n_epochs), bool)
+    lock_loss = getattr(track, "lock_loss_ms", None)
+    if (lock_loss is None and config.lock_demotion
+            and hasattr(track, "q_p") and hasattr(track, "code_freq")):
+        from softgnss_tpu.profiling import channel_lock_loss
+
+        lock_loss = channel_lock_loss(config, track)
+    if config.lock_demotion and lock_loss is not None:
+        lock_loss = np.asarray(lock_loss, np.float64)
+        for ch in active:
+            ms_idx = first_subframe[ch] + period * np.arange(n_epochs)
+            lock_ok[ch] = ms_idx < lock_loss[ch]
+            if not lock_ok[ch].all():
+                logger.warning("Channel %d (PRN %d) lost lock at %.0f ms; "
+                               "demoted for %d of %d epochs.", ch,
+                               int(np.asarray(track.prn)[ch]), lock_loss[ch],
+                               int((~lock_ok[ch]).sum()), n_epochs)
 
     # per-channel travel times (ms units) at every epoch's measurement point.
     # The integer sample counter quantizes pseudoranges at c/fs meters (the
@@ -314,7 +340,7 @@ def post_navigate(config: ReceiverConfig, track) -> tuple[NavSolutions | None, l
         outs = _epoch_scan(config, bool(config.use_trop_corr),
                            jnp.asarray(packed), jnp.asarray(base_mask),
                            jnp.asarray(travel), jnp.asarray(transmit_times),
-                           jnp.asarray(doppler))
+                           jnp.asarray(doppler), jnp.asarray(lock_ok))
         (pos, dop, el, az, raw_p, corrected, lat, lon, hgt, vel4) = map(np.asarray, outs)
 
         # --- UTM conversion (zone fixed from the first valid fix) ----------

@@ -68,6 +68,12 @@ class ReceiverResults:
         if self.tracking is not None:
             lines.append(f"Tracked {self.tracking.n_ms} ms on "
                          f"{sum(1 for s in self.tracking.status if s != '-')} channels")
+            if self.tracking.lock_loss_ms is not None:
+                for ch in np.flatnonzero(np.isfinite(self.tracking.lock_loss_ms)):
+                    lines.append(f"  lock lost: channel {ch} "
+                                 f"(PRN {int(self.tracking.prn[ch])}) at "
+                                 f"{self.tracking.lock_loss_ms[ch] / 1000.0:.1f} s "
+                                 f"-> status 'L', demoted from navigation")
         if self.solutions is not None:
             ok = np.isfinite(self.solutions.latitude)
             if ok.any():
@@ -97,6 +103,30 @@ def _checkpoint_path(path: str) -> str:
     return path if path.endswith(".npz") else path + ".npz"
 
 
+def _demote_unlocked(config: ReceiverConfig, tracking: TrackResults) -> None:
+    """Flag channels that lost lock mid-capture (config.lock_demotion).
+
+    Fills ``tracking.lock_loss_ms`` and flips the status of affected
+    channels 'T' -> 'L' (still counted as tracked — their pre-loss data is
+    valid — but navigation excludes them from every epoch at/after the
+    loss).  Beyond the reference, whose channel status never changes after
+    acquisition (tracking.py:253-275 logs lock observables but never
+    reacts).
+    """
+    if not config.lock_demotion or tracking.n_ms < config.lock_window_ms + 20:
+        return
+    from softgnss_tpu.profiling import channel_lock_loss
+
+    loss = channel_lock_loss(config, tracking)
+    tracking.lock_loss_ms = loss
+    for ch in np.flatnonzero(np.isfinite(loss)):
+        if tracking.status[ch] == "T":
+            tracking.status[ch] = "L"
+        logger.warning("Channel %d (PRN %d) lost lock at %.0f ms "
+                       "(C/N0 or phase-lock below threshold); demoted.",
+                       ch, int(tracking.prn[ch]), loss[ch])
+
+
 def save_tracking(path: str, tracking: TrackResults) -> None:
     """Checkpoint tracking output to .npz.
 
@@ -109,6 +139,8 @@ def save_tracking(path: str, tracking: TrackResults) -> None:
     if tracking.final_state is not None:
         state = {f"state_{k}": np.asarray(v)
                  for k, v in tracking.final_state._asdict().items()}
+    if tracking.lock_loss_ms is not None:
+        state["lock_loss_ms"] = np.asarray(tracking.lock_loss_ms)
     np.savez_compressed(
         _checkpoint_path(path), prn=tracking.prn, status=np.asarray(tracking.status),
         **{k: getattr(tracking, k) for k in (
@@ -128,6 +160,7 @@ def load_tracking(path: str) -> TrackResults:
     return TrackResults(
         prn=data["prn"], status=[str(s) for s in data["status"]],
         final_state=state,
+        lock_loss_ms=data["lock_loss_ms"] if "lock_loss_ms" in data else None,
         **{k: data[k] for k in (
             "absolute_sample", "sample_frac", "code_freq", "carr_freq", "i_p", "i_e", "i_l",
             "q_e", "q_p", "q_l", "dll_discr", "dll_discr_filt", "pll_discr",
@@ -183,6 +216,8 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
         logger.info("Loading tracking checkpoint %s", _checkpoint_path(checkpoint))
         t0 = time.monotonic()
         results.tracking = load_tracking(checkpoint)
+        if results.tracking.lock_loss_ms is None:
+            _demote_unlocked(config, results.tracking)      # pre-demotion checkpoint
         results.timings_s["track"] = time.monotonic() - t0
         if navigate:
             t0 = time.monotonic()
@@ -227,6 +262,7 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
                                     n_ms=n_ms)
     else:
         results.tracking = track(config, signal, results.channels, n_ms=n_ms)
+    _demote_unlocked(config, results.tracking)
     if checkpoint is not None:
         save_tracking(checkpoint, results.tracking)
     results.timings_s["track"] = time.monotonic() - t0

@@ -69,10 +69,14 @@ def profile_to(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def lock_metrics(config, tracking, window_ms: int = 1000) -> dict:
+def lock_metrics(config, tracking, window_ms: int = 1000,
+                 hop_ms: int | None = None) -> dict:
     """Per-channel lock-quality metrics from tracking output.
 
-    Returns arrays of shape (C, n_windows):
+    ``hop_ms``: stride between window starts (default = ``window_ms``,
+    non-overlapping; window k covers ms [k*hop, k*hop + window) up to the
+    per-channel bit-alignment offset).  Returns arrays of shape
+    (C, n_windows):
       - ``cn0_dbhz``: narrowband/wideband C/N0 estimate,
       - ``pll_lock``: NBD/NBP phase-lock indicator in [-1, 1] (~1 locked),
       - ``code_rate_offset_hz``: mean code-frequency offset from nominal.
@@ -80,6 +84,9 @@ def lock_metrics(config, tracking, window_ms: int = 1000) -> dict:
     i_p = np.asarray(tracking.i_p)
     q_p = np.asarray(tracking.q_p)
     c, n_ms = i_p.shape
+    hop_ms = window_ms if hop_ms is None else int(hop_ms)
+    if not 0 < hop_ms <= window_ms:
+        raise ValueError(f"hop_ms must be in (0, window_ms], got {hop_ms}")
     if n_ms < window_ms + 20:
         raise ValueError(f"need >= {window_ms + 20} ms of tracking, got {n_ms}")
 
@@ -94,13 +101,11 @@ def lock_metrics(config, tracking, window_ms: int = 1000) -> dict:
         if edges.size:
             offsets[ch] = np.bincount(edges % 20, minlength=20).argmax()
 
-    n_win = (n_ms - 20) // window_ms
-    if n_win == 0:
-        raise ValueError(f"need >= {window_ms + 20} ms of tracking, got {n_ms}")
-    ip = np.stack([i_p[ch, offsets[ch]: offsets[ch] + n_win * window_ms]
-                   for ch in range(c)]).reshape(c, n_win, window_ms)
-    qp = np.stack([q_p[ch, offsets[ch]: offsets[ch] + n_win * window_ms]
-                   for ch in range(c)]).reshape(c, n_win, window_ms)
+    n_win = (n_ms - 20 - window_ms) // hop_ms + 1
+    win_idx = (np.arange(n_win)[:, None] * hop_ms
+               + np.arange(window_ms)[None, :])          # (n_win, window_ms)
+    ip = np.stack([i_p[ch, offsets[ch] + win_idx] for ch in range(c)])
+    qp = np.stack([q_p[ch, offsets[ch] + win_idx] for ch in range(c)])
 
     # 20-ms coherent sums (one nav bit) inside each window
     m = window_ms // 20
@@ -118,9 +123,45 @@ def lock_metrics(config, tracking, window_ms: int = 1000) -> dict:
     nbd = ip20.sum(-1) ** 2 - qp20.sum(-1) ** 2
     pll_lock = (nbd / np.maximum(nbp, 1e-30)).mean(-1)
 
-    code_freq = np.asarray(tracking.code_freq)[:, : n_win * window_ms]
-    code_off = code_freq.reshape(c, n_win, window_ms).mean(-1)
+    code_off = np.asarray(tracking.code_freq)[:, win_idx].mean(-1)
 
 
     return {"cn0_dbhz": cn0, "pll_lock": pll_lock,
             "code_rate_offset_hz": code_off - config.code_freq_basis}
+
+
+def channel_lock_loss(config, tracking) -> np.ndarray:
+    """Per-channel ms index at which tracking lock was lost (inf = held).
+
+    A channel is demoted at the START of the first ``config.lock_window_ms``
+    window whose Van Dierendonck C/N0 falls below
+    ``config.lock_cn0_threshold_dbhz`` or whose NBD/NBP phase-lock indicator
+    falls below ``config.lock_pll_threshold``.  Demotion is permanent:
+    downstream consumers (navigation, status reporting) exclude the channel
+    from that millisecond on.  Beyond the reference, which records the
+    observables behind these metrics but never reacts to lock loss
+    (tracking.py:253-275).
+
+    Windows slide at half-window hops so a collapse anywhere except the
+    very last ``window/2 + 20`` ms of the capture lands in at least one
+    fully-covering window.  Returns (C,) float64; channels with '-' status
+    or captures shorter than one metrics window report inf (no demotion
+    information).
+    """
+    i_p = np.asarray(tracking.i_p)
+    c, n_ms = i_p.shape
+    loss = np.full(c, np.inf)
+    window = int(config.lock_window_ms)
+    if n_ms < window + 20:
+        return loss
+    hop = max(window // 2, 20)
+    metrics = lock_metrics(config, tracking, window_ms=window, hop_ms=hop)
+    bad = ((metrics["cn0_dbhz"] < config.lock_cn0_threshold_dbhz)
+           | (metrics["pll_lock"] < config.lock_pll_threshold))
+    for ch in range(c):
+        if tracking.status[ch] == "-":
+            continue
+        idx = np.flatnonzero(bad[ch])
+        if idx.size:
+            loss[ch] = float(idx[0] * hop)
+    return loss

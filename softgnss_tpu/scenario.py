@@ -96,6 +96,10 @@ class Scenario:
     t_rx0: float                         # GPS time at capture sample 0
     noise_std: float = 1.5
     amplitude: float = 1.0
+    #: optional (S, n_ms) per-ms amplitude envelope overriding ``amplitude``
+    #: (e.g. zero a row's tail to kill a satellite mid-capture and exercise
+    #: the receiver's lock-loss demotion)
+    amplitude_ms: np.ndarray = field(default=None, repr=False)
     delays: np.ndarray = field(default=None, repr=False)     # (S, n_ms+1) s
     dopplers: np.ndarray = field(default=None, repr=False)   # (S,) Hz at t_rx0
 
@@ -182,9 +186,17 @@ def synthesize_scenario(scenario: Scenario, n_ms: int, seed: int = 0) -> np.ndar
         for eph in scenario.ephemerides
     ]).astype(np.float32)
 
+    if scenario.amplitude_ms is not None:
+        amps = np.empty((s, n_ms), np.float32)
+        env = np.asarray(scenario.amplitude_ms, np.float32)
+        k = min(env.shape[1], n_ms)
+        amps[:, :k] = env[:, :k]
+        amps[:, k:] = env[:, -1:]                           # edge hold
+    else:
+        amps = np.full(s, scenario.amplitude, np.float32)
     return synthesize_dynamic(
         cfg, scenario.prns, delays, streams,
         scenario.t_rx0 - scenario.t_bits0, n_ms,
-        amplitudes=np.full(s, scenario.amplitude, np.float32),
+        amplitudes=amps,
         phase0=np.linspace(0.0, 5.0, s),
         noise_std=scenario.noise_std, seed=seed)

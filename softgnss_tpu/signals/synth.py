@@ -61,7 +61,10 @@ class SatelliteSignal:
     #: signal delay in samples; acquisition should report
     #: ``delay_samples mod samples_per_code`` as the code phase
     delay_samples: float = 0.0
-    amplitude: float = 1.0
+    #: scalar amplitude, or a per-ms envelope (edge-held past its end) —
+    #: e.g. ``(1.0,) * 2000 + (0.0,)`` kills the satellite at ms 2000,
+    #: exercising the receiver's lock-loss demotion path
+    amplitude: float | tuple[float, ...] = 1.0
     #: carrier phase at k=0, radians
     phase0: float = 0.0
     #: +/-1 nav bits, one per 20 ms; indexed by bit counter mod len.
@@ -161,7 +164,8 @@ def _synth_device(config: ReceiverConfig, n_ms: int, params, codes3, amps,
     """Scan over 1-ms blocks; satellites vmapped inside each block.
 
     params: _MsParams with (n_ms, S) leading axes; codes3: (S, 3*1023) f32
-    tiled C/A codes; amps: (S,) f32.
+    tiled C/A codes; amps: (n_ms, S) f32 per-ms amplitudes (scanned with
+    the parameter tables, so time-varying signal strength is free).
     """
     spms = config.samples_per_code
     t_count, w, win_chips, h_base, static_idx = _window_geometry(config)
@@ -193,7 +197,8 @@ def _synth_device(config: ReceiverConfig, n_ms: int, params, codes3, amps,
         return amp * code_val * bit_val * sin_v                 # (T, 128)
 
     def ms_step(carry_key, xs):
-        per_sat = jax.vmap(one_sat, in_axes=(0, 0, 0))(xs, codes3, amps)
+        p_ms, amp_ms = xs
+        per_sat = jax.vmap(one_sat, in_axes=(0, 0, 0))(p_ms, codes3, amp_ms)
         x = per_sat.sum(axis=0).reshape(-1)[:spms]
         key, sub = jax.random.split(carry_key)
         if noise_std > 0.0:
@@ -201,7 +206,7 @@ def _synth_device(config: ReceiverConfig, n_ms: int, params, codes3, amps,
         q = jnp.clip(jnp.round(x), -128, 127).astype(jnp.int8)
         return key, q
 
-    _, out = jax.lax.scan(ms_step, noise_key, params, length=n_ms)
+    _, out = jax.lax.scan(ms_step, noise_key, (params, amps), length=n_ms)
     return out.reshape(-1)
 
 
@@ -211,9 +216,15 @@ def _run_synth(config: ReceiverConfig, prns, params: _MsParams, amps,
     codes3 = np.concatenate([codes, codes, codes], axis=1)      # (S, 3069)
     # device layout: (n_ms, S) so the scan slices per-ms rows
     dev_params = _MsParams(*[jnp.asarray(np.ascontiguousarray(a.T)) for a in params])
+    amps = np.asarray(amps, np.float32)
+    if amps.ndim == 1:
+        amps = np.broadcast_to(amps[:, None], (len(prns), n_ms))
+    if amps.shape != (len(prns), int(n_ms)):
+        raise ValueError(f"amplitudes must be (n_sats,) or (n_sats, n_ms), "
+                         f"got {amps.shape}")
     out = _synth_device(config, int(n_ms), dev_params, jnp.asarray(codes3),
-                        jnp.asarray(amps, jnp.float32), float(noise_std),
-                        jax.random.PRNGKey(seed))
+                        jnp.asarray(np.ascontiguousarray(amps.T)),
+                        float(noise_std), jax.random.PRNGKey(seed))
     return np.asarray(jax.device_get(out))
 
 
@@ -241,7 +252,12 @@ def synthesize_signal(config: ReceiverConfig, sats: list[SatelliteSignal],
 
     params = _build_params(config, n_ms, chips0, chip_slope, cyc0, cyc_slope,
                            [_nav_bit_array(s) for s in sats], wrap_bits=True)
-    amps = np.asarray([s.amplitude for s in sats], np.float32)
+    amps = np.empty((len(sats), n_ms), np.float32)
+    for i, s in enumerate(sats):
+        a = np.atleast_1d(np.asarray(s.amplitude, np.float32))
+        k = min(len(a), n_ms)
+        amps[i, :k] = a[:k]
+        amps[i, k:] = a[-1]                                     # edge hold
     return _run_synth(config, [s.prn for s in sats], params, amps,
                       n_ms, noise_std, seed)
 
@@ -260,8 +276,10 @@ def synthesize_dynamic(config: ReceiverConfig, prns: list[int],
     continuous and geometry-consistent across the capture);
     ``bit_streams``: (S, n_bits) +/-1 transmitted nav bits, bit 0 starting
     at transmit time 0; ``t_rx0_minus_bits0``: receiver capture start minus
-    bit-stream start, in GPS seconds.  Used by the golden-scenario builder
-    (softgnss_tpu.scenario) for closed-loop navigation tests.
+    bit-stream start, in GPS seconds.  ``amplitudes``: (S,) constants or
+    (S, n_ms) per-ms envelopes (time-varying signal strength).  Used by the
+    golden-scenario builder (softgnss_tpu.scenario) for closed-loop
+    navigation tests.
     """
     if config.sampling_freq % 1000:
         raise ValueError("synthesizer requires sampling_freq divisible by 1000")

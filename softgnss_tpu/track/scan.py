@@ -126,6 +126,11 @@ class TrackResults:
     #: loop state after the last tracked millisecond; pass as ``state=`` to
     #: :func:`track` to resume the capture exactly where this run stopped
     final_state: "TrackState | None" = None
+    #: per-channel ms at which lock was lost (inf = held); filled by the
+    #: pipeline from profiling.channel_lock_loss when config.lock_demotion —
+    #: a channel with a finite entry carries status 'L' and navigation
+    #: excludes it from every epoch at/after that millisecond
+    lock_loss_ms: np.ndarray | None = None
 
     @property
     def n_ms(self) -> int:

@@ -97,6 +97,54 @@ class TestEndToEnd:
         el = sol.el[np.isfinite(sol.el)]
         assert np.all(el >= cfg.elevation_mask_deg - 1.0)
 
+    def test_satellite_killed_mid_capture_fix_survives(self, e2e_results):
+        """Kill one satellite's signal at 33 s (amplitude envelope): the
+        lock detector must demote its channel ('L', loss near the kill),
+        navigation must exclude it from later epochs, and the fix must
+        survive on the remaining four satellites.  The reference keeps a
+        dead channel in the solution forever (tracking.py:253-275 never
+        reacts to lock loss)."""
+        import dataclasses
+
+        cfg, scenario, results = e2e_results
+        kill_ms = 33000
+        n_sig = N_MS + cfg.acquisition_ms + 2
+        env = np.ones((len(scenario.prns), n_sig), np.float32)
+        env[-1, kill_ms:] = 0.0
+        sc2 = dataclasses.replace(scenario, amplitude_ms=env)
+        sig = synthesize_scenario(sc2, n_sig)
+        res = run_receiver(cfg, signal=sig, channels=results.channels)
+
+        tr = res.tracking
+        ch = int(np.flatnonzero(tr.prn == scenario.prns[-1])[0])
+        assert tr.status[ch] == "L"
+        assert kill_ms - cfg.lock_window_ms <= tr.lock_loss_ms[ch] \
+            <= kill_ms + 2 * cfg.lock_window_ms
+        for c in range(len(tr.prn)):
+            if c != ch and tr.status[c] != "-":
+                assert np.isinf(tr.lock_loss_ms[c])
+
+        assert res.has_fix
+        sol = res.solutions
+        rx = scenario.receiver_ecef
+        ok = np.isfinite(sol.x)
+        assert ok.sum() >= 0.9 * sol.n_epochs
+        err = np.sqrt((sol.x[ok] - rx[0]) ** 2 + (sol.y[ok] - rx[1]) ** 2
+                      + (sol.z[ok] - rx[2]) ** 2)
+        assert np.median(err) < 30.0
+        # epochs at/after the kill: demoted channel excluded, fix survives
+        # on the remaining 4 satellites
+        ms_idx = sol.first_subframe[ch] + cfg.nav_sol_period_ms * np.arange(sol.n_epochs)
+        late = np.flatnonzero(ms_idx >= tr.lock_loss_ms[ch])
+        assert late.size >= 3
+        assert np.all(np.isnan(sol.el[ch, late]))
+        late_ok = np.isfinite(sol.x[late])
+        assert late_ok.mean() >= 0.8
+        late_err = np.sqrt((sol.x[late][late_ok] - rx[0]) ** 2
+                           + (sol.y[late][late_ok] - rx[1]) ** 2
+                           + (sol.z[late][late_ok] - rx[2]) ** 2)
+        assert np.median(late_err) < 100.0
+
     def test_time_sharded_tracking_feeds_navigation(self, e2e_results):
         """Sequence-parallel tracking (2 time blocks x warm-up re-lock +
         polarity reconciliation) must produce observables the navigation

@@ -233,6 +233,43 @@ class TestPostNavigate:
         # sanity: plausible GPS ranges and finite only on active channels
         assert np.all((p[active] > 1.8e7) & (p[active] < 3e7))
 
+    def test_lock_demotion_excludes_corrupt_tail(self, nav_case):
+        """A channel flagged by lock demotion is excluded from every epoch
+        at/after its loss ms: corrupting its observables there must not
+        touch the solution; with demotion disabled the same corruption
+        blows the fix up (the reference's failure mode)."""
+        config, rx, ephs, track, _ = nav_case
+        loss_ms = 20000.0
+        bad = FakeTrack()
+        bad.i_p = track.i_p
+        bad.carr_freq = track.carr_freq
+        bad.status = track.status
+        bad.prn = track.prn
+        bad.absolute_sample = track.absolute_sample.copy()
+        bad.absolute_sample[0, int(loss_ms):] += 300.0      # ~22 km range error
+        bad.lock_loss_ms = np.asarray([loss_ms, np.inf, np.inf, np.inf, np.inf])
+
+        # Hatch smoothing would drag pre-corruption epochs toward the
+        # corrupt code ranges; disable to isolate the demotion mask
+        cfg = config.with_options(carrier_smoothing_epochs=1)
+        sol, _ = post_navigate(cfg, bad)
+        err = np.sqrt((sol.x - rx[0]) ** 2 + (sol.y - rx[1]) ** 2
+                      + (sol.z - rx[2]) ** 2)
+        assert np.isfinite(err).all()
+        assert np.max(err) < 5.0
+        # demoted channel contributes no elevations/pseudoranges after loss
+        late = np.flatnonzero(sol.first_subframe[0]
+                              + cfg.nav_sol_period_ms * np.arange(sol.n_epochs)
+                              >= loss_ms)
+        assert late.size > 0
+        assert np.all(np.isnan(sol.el[0, late]))
+        assert np.all(np.isnan(sol.raw_p[0, late]))
+
+        sol_off, _ = post_navigate(cfg.with_options(lock_demotion=False), bad)
+        err_off = np.sqrt((sol_off.x - rx[0]) ** 2 + (sol_off.y - rx[1]) ** 2
+                          + (sol_off.z - rx[2]) ** 2)
+        assert np.nanmax(err_off) > 1000.0
+
     def test_too_short_record(self, nav_case):
         config, rx, ephs, track, _ = nav_case
         short = FakeTrack()
