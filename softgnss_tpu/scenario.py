@@ -9,11 +9,12 @@ and synthesize a geometry-consistent int8 IF capture.  A correct receiver
 must then acquire every satellite, track it, decode its ephemeris, and
 produce PVT fixes at the injected position.
 
-Simplifications (each is exercised separately in unit tests):
-* satellite clock terms a_f0/a_f1/a_f2/T_GD are zero and orbits are
-  circular (e=0), so satellite clock corrections are exactly zero and the
-  only receiver-side unknowns are position + receiver clock;
-* the receiver is static and its clock drift-free.
+The default scenario uses circular (e=0), zero-clock orbits so the
+closed-form truth propagator stays independent of the receiver's Kepler
+code; ``build_scenario(full_model=True)`` switches to eccentric orbits
+with harmonics and satellite clock terms (a_f0/a_f1/T_GD + relativistic),
+exercising every branch of the broadcast model closed-loop.  The receiver
+is always static with a drift-free clock.
 """
 
 from __future__ import annotations
@@ -32,18 +33,35 @@ from softgnss_tpu.signals.synth import synthesize_dynamic
 _W_SAGNAC = 7.292115147e-5   # e_r_corr's rotation rate (geoFunctions:509)
 
 
+def keplerian_ephemeris(sqrt_a: float = 5153.8, i_0: float = 0.96,
+                        omega_0: float = 0.0, m_0: float = 0.0,
+                        t_oe: float = 0.0, iod: int = 1,
+                        e: float = 0.0, omega: float = 0.0,
+                        delta_n: float = 0.0, i_dot: float = 0.0,
+                        omega_dot: float = 0.0,
+                        c_rs: float = 0.0, c_rc: float = 0.0,
+                        c_us: float = 0.0, c_uc: float = 0.0,
+                        c_is: float = 0.0, c_ic: float = 0.0,
+                        a_f0: float = 0.0, a_f1: float = 0.0,
+                        a_f2: float = 0.0, t_gd: float = 0.0) -> Ephemeris:
+    """Broadcast ephemeris with the full orbital/clock parameter set
+    (reference field inventory: ephemeris.py decode targets)."""
+    return Ephemeris(
+        week_number=2000, accuracy=0, health=0, t_gd=t_gd, iodc=iod,
+        t_oc=t_oe, a_f0=a_f0, a_f1=a_f1, a_f2=a_f2,
+        iode_sf2=iod, c_rs=c_rs, delta_n=delta_n, m_0=m_0, c_uc=c_uc, e=e,
+        c_us=c_us, sqrt_a=sqrt_a, t_oe=t_oe, c_ic=c_ic, omega_0=omega_0,
+        c_is=c_is, i_0=i_0, c_rc=c_rc, omega=omega, omega_dot=omega_dot,
+        iode_sf3=iod, i_dot=i_dot,
+    )
+
+
 def circular_ephemeris(sqrt_a: float = 5153.8, i_0: float = 0.96,
                        omega_0: float = 0.0, m_0: float = 0.0,
                        t_oe: float = 0.0, iod: int = 1) -> Ephemeris:
     """Zero-eccentricity, zero-harmonics, zero-clock broadcast ephemeris."""
-    return Ephemeris(
-        week_number=2000, accuracy=0, health=0, t_gd=0.0, iodc=iod,
-        t_oc=t_oe, a_f0=0.0, a_f1=0.0, a_f2=0.0,
-        iode_sf2=iod, c_rs=0.0, delta_n=0.0, m_0=m_0, c_uc=0.0, e=0.0,
-        c_us=0.0, sqrt_a=sqrt_a, t_oe=t_oe, c_ic=0.0, omega_0=omega_0,
-        c_is=0.0, i_0=i_0, c_rc=0.0, omega=0.0, omega_dot=0.0,
-        iode_sf3=iod, i_dot=0.0,
-    )
+    return keplerian_ephemeris(sqrt_a=sqrt_a, i_0=i_0, omega_0=omega_0,
+                               m_0=m_0, t_oe=t_oe, iod=iod)
 
 
 def propagate_circular(eph: Ephemeris, t: np.ndarray) -> np.ndarray:
@@ -67,13 +85,72 @@ def propagate_circular(eph: Ephemeris, t: np.ndarray) -> np.ndarray:
     return np.stack([x, y, z])
 
 
+def _eccentric_anomaly(eph: Ephemeris, t: np.ndarray) -> np.ndarray:
+    """Kepler solve M = E - e sin E (NumPy fixed point, 12 iterations —
+    converges below 1e-12 rad for GPS eccentricities e < 0.03)."""
+    a = eph.sqrt_a**2
+    n = np.sqrt(GM / a**3) + eph.delta_n
+    m = eph.m_0 + n * (np.asarray(t, np.float64) - eph.t_oe)
+    e_anom = m
+    for _ in range(12):
+        e_anom = m + eph.e * np.sin(e_anom)
+    return e_anom
+
+
+def propagate_orbit(eph: Ephemeris, t: np.ndarray) -> np.ndarray:
+    """ECEF positions (3, T) from the FULL broadcast model at GPS times t.
+
+    Eccentricity, argument of perigee, all six harmonic corrections,
+    delta_n, i_dot, omega_dot — the complete IS-GPS-200 user algorithm the
+    receiver's satpos inverts (reference geoFunctions:819-885), in plain
+    NumPy so scenario truth does not share code with the jitted receiver
+    propagator.  Reduces exactly to :func:`propagate_circular` when all the
+    extra terms are zero.
+    """
+    t = np.asarray(t, np.float64)
+    a = eph.sqrt_a**2
+    tk = t - eph.t_oe
+    e_anom = _eccentric_anomaly(eph, t)
+    nu = np.arctan2(np.sqrt(1.0 - eph.e**2) * np.sin(e_anom),
+                    np.cos(e_anom) - eph.e)
+    phi = nu + eph.omega
+    s2p, c2p = np.sin(2.0 * phi), np.cos(2.0 * phi)
+    u = phi + eph.c_us * s2p + eph.c_uc * c2p
+    r = a * (1.0 - eph.e * np.cos(e_anom)) + eph.c_rs * s2p + eph.c_rc * c2p
+    inc = eph.i_0 + eph.i_dot * tk + eph.c_is * s2p + eph.c_ic * c2p
+    node = eph.omega_0 + (eph.omega_dot - OMEGA_E_DOT) * tk - OMEGA_E_DOT * eph.t_oe
+    x_orb, y_orb = r * np.cos(u), r * np.sin(u)
+    x = x_orb * np.cos(node) - y_orb * np.cos(inc) * np.sin(node)
+    y = x_orb * np.sin(node) + y_orb * np.cos(inc) * np.cos(node)
+    z = y_orb * np.sin(inc)
+    return np.stack([x, y, z])
+
+
+#: relativistic clock constant -2 sqrt(GM)/c^2 (reference geoFunctions:810)
+_F_REL = -4.442807633e-10
+
+
+def satellite_clock_offset(eph: Ephemeris, t: np.ndarray) -> np.ndarray:
+    """L1 satellite clock offset dt_sv (s) at satellite-clock times t.
+
+    Polynomial + relativistic eccentricity term - T_GD: the exact quantity
+    the receiver's satpos returns as ``clk`` and adds to pseudoranges
+    (reference geoFunctions:825-833, 855).  A positive offset means the
+    satellite clock runs ahead of GPS time, so its signal timeline arrives
+    early and the effective capture delay is tau_geometric - dt_sv.
+    """
+    dt = np.asarray(t, np.float64) - eph.t_oc
+    dtr = _F_REL * eph.e * eph.sqrt_a * np.sin(_eccentric_anomaly(eph, t))
+    return (eph.a_f2 * dt + eph.a_f1) * dt + eph.a_f0 + dtr - eph.t_gd
+
+
 def light_times(rx_ecef: np.ndarray, eph: Ephemeris, t_tx: np.ndarray) -> np.ndarray:
     """Signal flight times with Sagnac rotation — the model the PVT inverts.
 
-    ``t_tx``: transmit times (the receiver's satpos is also evaluated at
-    transmit time).
+    ``t_tx``: transmit times in GPS time (the receiver's satpos is also
+    evaluated at transmit time).
     """
-    pos = propagate_circular(eph, t_tx)
+    pos = propagate_orbit(eph, t_tx)
     tau = np.full(pos.shape[1], 0.07)
     for _ in range(4):
         ang = _W_SAGNAC * tau
@@ -125,11 +202,20 @@ def build_scenario(config: ReceiverConfig, n_sats: int = 5,
                    height: float = 500.0, tow_count: int = 70000,
                    noise_std: float = 1.5, amplitude: float = 1.0,
                    min_elevation: float = 20.0, seed: int = 11,
-                   sync_offset_s: float = 0.35) -> Scenario:
+                   sync_offset_s: float = 0.35,
+                   full_model: bool = False) -> Scenario:
     """Construct a consistent scenario with n_sats visible satellites.
 
     The capture starts ``sync_offset_s`` before the arrival of subframe
     ``tow_count``, so the first confirmed preamble lands early in tracking.
+
+    ``full_model``: instead of circular/zero-clock orbits, draw eccentric
+    orbits (e ~ 0.01) with nonzero argument of perigee, delta_n, i_dot,
+    omega_dot, all six harmonic corrections, and satellite clock terms
+    a_f0/a_f1/T_GD — every branch of the IS-GPS-200 user algorithm
+    (reference geoFunctions:819-885) then flows encode -> decode -> satpos
+    -> PVT closed-loop.  Magnitudes are typical broadcast values, all well
+    inside the nav-message field widths.
     """
     rx = np.asarray(geo2cart(np.array([latitude, 0, 0]),
                              np.array([longitude, 0, 0]), height, 4))
@@ -140,13 +226,35 @@ def build_scenario(config: ReceiverConfig, n_sats: int = 5,
     trial = 0
     while len(ephs) < n_sats and trial < 500:
         trial += 1
-        eph = circular_ephemeris(
-            i_0=float(rng.uniform(0.8, 1.1)),
-            omega_0=float(rng.uniform(0, 2 * np.pi)),
-            m_0=float(rng.uniform(0, 2 * np.pi)),
-            t_oe=t0, iod=len(ephs) + 1,
-        )
-        pos = propagate_circular(eph, np.asarray([t0]))[:, 0]
+        if full_model:
+            eph = keplerian_ephemeris(
+                i_0=float(rng.uniform(0.8, 1.1)),
+                omega_0=float(rng.uniform(0, 2 * np.pi)),
+                m_0=float(rng.uniform(0, 2 * np.pi)),
+                t_oe=t0, iod=len(ephs) + 1,
+                e=float(rng.uniform(0.005, 0.015)),
+                omega=float(rng.uniform(0, 2 * np.pi)),
+                delta_n=float(rng.uniform(-5e-9, 5e-9)),
+                i_dot=float(rng.uniform(-3e-10, 3e-10)),
+                omega_dot=float(rng.uniform(-9e-9, -7e-9)),
+                c_rs=float(rng.uniform(-80.0, 80.0)),
+                c_rc=float(rng.uniform(150.0, 350.0)),
+                c_us=float(rng.uniform(2e-6, 1e-5)),
+                c_uc=float(rng.uniform(-5e-6, 5e-6)),
+                c_is=float(rng.uniform(-2e-7, 2e-7)),
+                c_ic=float(rng.uniform(-2e-7, 2e-7)),
+                a_f0=float(rng.uniform(-2e-4, 2e-4)),
+                a_f1=float(rng.uniform(-1e-11, 1e-11)),
+                t_gd=float(rng.uniform(-1e-8, 1e-8)),
+            )
+        else:
+            eph = circular_ephemeris(
+                i_0=float(rng.uniform(0.8, 1.1)),
+                omega_0=float(rng.uniform(0, 2 * np.pi)),
+                m_0=float(rng.uniform(0, 2 * np.pi)),
+                t_oe=t0, iod=len(ephs) + 1,
+            )
+        pos = propagate_orbit(eph, np.asarray([t0]))[:, 0]
         _, el, _ = topocent(rx, pos - rx)
         if float(el) > min_elevation:
             ephs.append(eph)
@@ -172,10 +280,18 @@ def synthesize_scenario(scenario: Scenario, n_ms: int, seed: int = 0) -> np.ndar
 
     delays = np.empty((s, n_ms + 1))
     for i, eph in enumerate(scenario.ephemerides):
-        # solve tau(t_rx): receive-time grid -> iterate transmit time
+        # solve tau_eff(t_rx): receive-time grid -> iterate the satellite's
+        # signal-timeline time t_stream (= satellite clock time stamped on
+        # the nav bits).  The signal stamped t_stream leaves at GPS time
+        # t_stream - dt_sv and flies tau_geo, so the capture-relative delay
+        # the receiver observes is tau_geo - dt_sv (the +dt_sv it adds back
+        # as the satpos clock correction, reference postNavigation.py:231).
         tau = np.full(n_ms + 1, 0.07)
         for _ in range(3):
-            tau = light_times(scenario.receiver_ecef, eph, t_bounds - tau)
+            t_stream = t_bounds - tau
+            dt_sv = satellite_clock_offset(eph, t_stream)
+            tau = light_times(scenario.receiver_ecef, eph,
+                              t_stream - dt_sv) - dt_sv
         delays[i] = tau
     scenario.delays = delays
     scenario.dopplers = -cfg.l1_freq * (delays[:, 1] - delays[:, 0]) * 1000.0
