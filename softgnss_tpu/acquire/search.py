@@ -89,29 +89,32 @@ def _corr_fft_len(config: ReceiverConfig) -> int:
 
 
 def _baseband_ffts(config: ReceiverConfig, long_signal: jnp.ndarray):
-    """Doppler-mixed FFTs of the two acquisition milliseconds, (B, M) each,
-    plus the DC-removed fine-frequency signal.  PRN-independent."""
+    """Doppler-mixed FFTs of the K = ``acq_noncoherent_ms`` acquisition
+    milliseconds, stacked (K, B, M), plus the DC-removed fine-frequency
+    signal.  PRN-independent."""
     spc = config.samples_per_code
     fs = config.sampling_freq
     fft_n = _corr_fft_len(config)
+    k_ms = config.acq_noncoherent_ms
     sig = long_signal.astype(jnp.float32)
-    sig1, sig2 = sig[:spc], sig[spc: 2 * spc]
+    sig_ms = sig[: k_ms * spc].reshape(k_ms, spc)
     sig0dc = sig - jnp.mean(sig)
 
     # reference mixes with sin/cos separately (acquisition.py:103-117);
     # sin(th) + j*cos(th) = j*exp(-j*th), and the global j drops under |.|^2.
     # Phases come from the exact uint32 carrier NCO + polynomial sine: TPU
     # has no f64/c128 transcendentals (a complex128 exp aborts the compiler)
-    # and f32 phase ramps lose precision by the end of a 1 ms block.
+    # and f32 phase ramps lose precision by the end of a 1 ms block.  The
+    # same phase-0 mixer serves every millisecond: each is correlated
+    # independently and |.|^2 discards the inter-ms carrier phase.
     freqs = jnp.asarray(config.doppler_bin_freqs, jnp.float64)      # (B,)
     steps = carrier_step_u32(freqs, fs)                              # (B,) i32
     k32 = jnp.arange(spc, dtype=jnp.int32)
     sin_v, cos_v = carrier_sin_cos(jnp.int32(0), steps[:, None], k32[None, :])
     mixer = (cos_v - 1j * sin_v).astype(jnp.complex64)               # e^{-j th}
 
-    x1 = jnp.fft.fft(mixer * sig1[None, :], fft_n)                   # (B, M)
-    x2 = jnp.fft.fft(mixer * sig2[None, :], fft_n)
-    return x1, x2, sig0dc
+    xs = jnp.fft.fft(mixer[None, :, :] * sig_ms[:, None, :], fft_n)  # (K, B, M)
+    return xs, sig0dc
 
 
 def _fine_chip_indices(config: ReceiverConfig) -> np.ndarray:
@@ -129,12 +132,13 @@ def _fine_chip_indices(config: ReceiverConfig) -> np.ndarray:
     return np.mod(chip_idx, 1023).astype(np.int32)
 
 
-def _prn_block(config: ReceiverConfig, x1, x2, sig0dc, code_fd, gold):
+def _prn_block(config: ReceiverConfig, xs, sig0dc, code_fd, gold):
     """Full acquisition math for a block of PRNs.
 
-    ``code_fd``: (p, N) conjugated code FFTs; ``gold``: (p, 1023) chips.
-    Returns (fine_or_zero_carr_freq, code_phase, metric), each (p,).
-    PRN-independent inputs (x1, x2, sig0dc) are shared — this same block
+    ``xs``: (K, B, M) Doppler-mixed per-ms signal FFTs; ``code_fd``:
+    (p, N) conjugated code FFTs; ``gold``: (p, 1023) chips.  Returns
+    (fine_or_zero_carr_freq, code_phase, metric), each (p,).
+    PRN-independent inputs (xs, sig0dc) are shared — this same block
     function serves the single-chip chunked path and the mesh-sharded path
     (softgnss_tpu.parallel.acquire).
     """
@@ -151,12 +155,22 @@ def _prn_block(config: ReceiverConfig, x1, x2, sig0dc, code_fd, gold):
             c = c[..., :spc] + c[..., fft_n - spc:]
         return jnp.abs(c) ** 2
 
-    r1 = corr_sq(x1)
-    r2 = corr_sq(x2)
-    # per Doppler row, keep whichever millisecond has the stronger peak
-    # (bit-transition hedge, reference: acquisition.py:129-133)
-    take1 = r1.max(-1, keepdims=True) > r2.max(-1, keepdims=True)
-    results = jnp.where(take1, r1, r2)                               # (p, B, N)
+    if config.acq_noncoherent_ms == 2:
+        # reference scheme: per Doppler row, keep whichever millisecond has
+        # the stronger peak (bit-transition hedge, acquisition.py:129-133)
+        r1 = corr_sq(xs[0])
+        r2 = corr_sq(xs[1])
+        take1 = r1.max(-1, keepdims=True) > r2.max(-1, keepdims=True)
+        results = jnp.where(take1, r1, r2)                           # (p, B, N)
+    else:
+        # non-coherent accumulation over K ms (beyond the reference):
+        # square-law summing is insensitive to nav-bit signs, so no hedge
+        # is needed, and the noise floor tightens ~sqrt(K).  The Python
+        # loop unrolls under jit, bounding the live (p, B, M) intermediate
+        # to one millisecond at a time.
+        results = corr_sq(xs[0])
+        for k in range(1, config.acq_noncoherent_ms):
+            results = results + corr_sq(xs[k])
 
     # --- peak / second-peak metric (reference: acquisition.py:139-164) ------
     flat = results.reshape(p, -1)
@@ -224,7 +238,7 @@ def _prn_block(config: ReceiverConfig, x1, x2, sig0dc, code_fd, gold):
 @partial(jax.jit, static_argnums=(0,))
 def _acquire_device(config: ReceiverConfig, long_signal: jnp.ndarray):
     prn_list = np.asarray(config.acq_satellite_list, np.int64)
-    x1, x2, sig0dc = _baseband_ffts(config, long_signal)
+    xs, sig0dc = _baseband_ffts(config, long_signal)
 
     fft_n = _corr_fft_len(config)
     codes = jnp.asarray(ca_table(config)[prn_list - 1])              # (P, N)
@@ -239,7 +253,7 @@ def _acquire_device(config: ReceiverConfig, long_signal: jnp.ndarray):
     gold = jnp.pad(gold, ((0, pad), (0, 0))).reshape(-1, chunk, 1023)
 
     outs = jax.lax.map(
-        lambda args: _prn_block(config, x1, x2, sig0dc, args[0], args[1]),
+        lambda args: _prn_block(config, xs, sig0dc, args[0], args[1]),
         (code_fd, gold))
     carr_freq, code_phase, metric = (o.reshape(-1)[:n_prn] for o in outs)
     return carr_freq, code_phase, metric

@@ -72,6 +72,14 @@ class ReceiverConfig:
     #: zoom-FFT fine search: half-width of the searched band around the
     #: coarse bin, Hz (coarse bins are acq_doppler_step_hz apart)
     acq_fine_band_hz: float = 400.0
+    #: milliseconds accumulated non-coherently in the code/Doppler search.
+    #: 2 = the reference's scheme (best of two 1-ms correlations, its
+    #: bit-transition hedge, acquisition.py:129-133; sensitivity floor
+    #: ~47 dB-Hz at threshold 2.5).  K > 2 sums K per-ms correlation powers
+    #: instead — beyond the reference, ~5 log10(K/2) dB lower floor (K=10
+    #: reaches ~41 dB-Hz; measured curves in BASELINE.md) at negligible TPU
+    #: cost since the batched FFT grid is compute-bound for ~0.3 ms total
+    acq_noncoherent_ms: int = 2
 
     # --- tracking loops ----------------------------------------------------
     #: DLL damping ratio (reference: initialize.py:130)
@@ -244,7 +252,7 @@ class ReceiverConfig:
     @property
     def acquisition_ms(self) -> int:
         """Milliseconds of signal consumed by acquisition (reference: initialize.py:481)."""
-        return self.acq_fine_freq_ms + 1
+        return max(self.acq_fine_freq_ms, self.acq_noncoherent_ms) + 1
 
     def loop_coefficients(self, noise_bw: float, damping: float, gain: float) -> tuple[float, float]:
         """Second-order loop filter coefficients (tau1, tau2).

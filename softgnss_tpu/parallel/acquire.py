@@ -31,17 +31,17 @@ from softgnss_tpu.signals.ca import ca_table, gold_codes
 def _acquire_sharded_device(config: ReceiverConfig, mesh: Mesh, long_signal,
                             code_fd, gold):
     axis = config.channel_axis
-    x1, x2, sig0dc = _baseband_ffts(config, long_signal)
+    xs, sig0dc = _baseband_ffts(config, long_signal)
 
-    def shard_fn(cfd_local, gold_local, x1r, x2r, s0r):
-        return _prn_block(config, x1r, x2r, s0r, cfd_local, gold_local)
+    def shard_fn(cfd_local, gold_local, xsr, s0r):
+        return _prn_block(config, xsr, s0r, cfd_local, gold_local)
 
     shard = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(None, None), P(None, None), P(None)),
+        in_specs=(P(axis, None), P(axis, None), P(None, None, None), P(None)),
         out_specs=(P(axis), P(axis), P(axis)),
     )
-    return shard(code_fd, gold, x1, x2, sig0dc)
+    return shard(code_fd, gold, xs, sig0dc)
 
 
 def acquire_sharded(config: ReceiverConfig, long_signal: np.ndarray,

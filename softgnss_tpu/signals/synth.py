@@ -79,6 +79,19 @@ class SatelliteSignal:
         return config.code_freq_basis * (1.0 + self.doppler_hz / config.l1_freq)
 
 
+def amplitude_for_cn0(config: ReceiverConfig, cn0_dbhz: float,
+                      noise_std: float) -> float:
+    """Signal amplitude that yields the given carrier-to-noise density.
+
+    The synthesized carrier has power A^2/2; white noise of std ``sigma``
+    per sample at rate fs has density sigma^2/fs, so
+    C/N0 = A^2 fs / (2 sigma^2).  Real L1 captures sit at ~35-50 dB-Hz;
+    the framework's toy defaults (A=1, sigma=1.5) are ~59 dB-Hz.
+    """
+    return float(np.sqrt(2.0 * noise_std**2 * 10.0 ** (cn0_dbhz / 10.0)
+                         / config.sampling_freq))
+
+
 def _nav_bit_array(sat: SatelliteSignal) -> np.ndarray:
     if sat.nav_bits is None:
         return np.ones(1, np.float32)
