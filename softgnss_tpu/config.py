@@ -174,8 +174,14 @@ class ReceiverConfig:
     time_axis: str = "time"
     channel_axis: str = "channel"
     #: warmup (re-lock) milliseconds discarded at each time-shard boundary
-    #: when tracking is sharded over time blocks
-    time_shard_warmup_ms: int = 1000
+    #: when tracking is sharded over time blocks.  Default from the measured
+    #: sweep (scripts/warmup_sweep.py, table in BASELINE.md): down to 25 ms
+    #: the stitched nav bits are error-free and sample counters stay within
+    #: the inherent +-1 quantization at both ~59 and 45 dB-Hz; 250 ms buys
+    #: 4x margin and a <= ~10 Hz post-boundary carrier-frequency transient
+    #: at ~5% redundant compute on the reference workload (8 shards, 37 s).
+    #: The exact-carry anchor is shard='time-exact'.
+    time_shard_warmup_ms: int = 250
 
     # --- derived ----------------------------------------------------------------
     @property

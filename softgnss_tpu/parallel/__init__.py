@@ -12,6 +12,8 @@ table); this package supplies the TPU-native equivalents:
   'time' mesh axis, boundary samples exchanged with `lax.ppermute`
   (overlap-save halos), with a warm-up re-lock interval replacing the
   sequential loop-filter carry (softgnss_tpu.parallel.track),
+* **exact time blocking** — the sequential-carry handoff anchor
+  (bit-identical to single-device; softgnss_tpu.parallel.track_time_exact),
 * multi-host bootstrap helpers (softgnss_tpu.parallel.mesh).
 """
 
@@ -23,5 +25,6 @@ from softgnss_tpu.parallel.mesh import (  # noqa: F401
 from softgnss_tpu.parallel.acquire import acquire_sharded  # noqa: F401
 from softgnss_tpu.parallel.track import (  # noqa: F401
     track_channels_sharded,
+    track_time_exact,
     track_time_sharded,
 )

@@ -115,16 +115,27 @@ def _track_channels_sharded(config: ReceiverConfig, mesh: Mesh, n_ms: int,
 
 def track_channels_sharded(config: ReceiverConfig, signal: np.ndarray,
                            channels: Channels, mesh: Mesh,
-                           n_ms: int | None = None) -> TrackResults:
+                           n_ms: int | None = None,
+                           state: TrackState | None = None) -> TrackResults:
     """Channel-sharded tracking over ``mesh``; numerically identical to the
     single-device :func:`softgnss_tpu.track.track` (same per-channel math,
-    integer-NCO recurrence is device-count invariant)."""
+    integer-NCO recurrence is device-count invariant).  ``state``: resume
+    from a previous run's ``final_state`` (leaves sized to the UNPADDED
+    channel count) instead of the acquisition-derived initial state."""
     n_ms = int(config.ms_to_process if n_ms is None else n_ms)
     n_shards = mesh.shape[config.channel_axis]
     n_channels = len(channels)
     padded = _pad_channels(config, channels, n_shards)
     tables, carr_basis, active = _track_inputs(config, padded)
     state0 = initial_state(config, padded)
+    if state is not None:
+        # graft the resumed leaves onto the padded template (pad rows are
+        # inactive; their state is never consumed)
+        state0 = jax.tree.map(
+            lambda pad_leaf, live: jnp.asarray(
+                np.concatenate([np.asarray(live),
+                                np.asarray(pad_leaf)[n_channels:]])),
+            state0, jax.tree.map(np.asarray, state))
     final, ys, ovf = _track_channels_sharded(
         config, mesh, n_ms, jnp.asarray(signal), jax.tree.map(jnp.asarray, tables),
         jnp.asarray(carr_basis), jnp.asarray(active), state0)
@@ -339,3 +350,50 @@ def track_time_sharded(config: ReceiverConfig, signal: np.ndarray,
     ph = (final.carr_phase.astype(np.int64) + half_turn) & 0xFFFFFFFF
     res.final_state = final._replace(carr_phase=ph.astype(np.uint32).view(np.int32))
     return res
+
+
+# --------------------------------------------------------------------------
+# exact time blocking (sequential carry handoff)
+# --------------------------------------------------------------------------
+
+def track_time_exact(config: ReceiverConfig, signal: np.ndarray,
+                     channels: Channels, mesh: Mesh,
+                     n_ms: int | None = None) -> TrackResults:
+    """Time-blocked tracking with the EXACT sequential loop-state carry.
+
+    The capture is processed in ``mesh``-'time'-axis-count blocks, each
+    channel-sharded over the mesh, with block b starting from block b-1's
+    final integer-NCO loop state (the SURVEY §5.7 handoff design).  The
+    recurrent carry serializes the blocks, so wall time stays sequential —
+    this mode is the exact correctness anchor the warm-up re-lock mode
+    (:func:`track_time_sharded`) is measured against
+    (scripts/warmup_sweep.py), and the resumable-checkpoint path for
+    captures processed in bounded slices.  Integer-NCO observables
+    (absolute_sample, sample_frac — everything pseudoranges consume) and
+    nav-bit signs are bit-identical to the single-device tracker; the f64
+    loop-filter streams can differ by ~1 ulp because each block length
+    compiles its own scan and XLA's fusion choices differ
+    (tests/test_sharding.py pins both properties).
+    """
+    n_ms = int(config.ms_to_process if n_ms is None else n_ms)
+    n_t = mesh.shape[config.time_axis]
+    if n_ms % n_t:
+        raise ValueError(f"n_ms={n_ms} not divisible by time blocks={n_t}")
+    block_ms = n_ms // n_t
+
+    state = None
+    parts: list[TrackResults] = []
+    for _ in range(n_t):
+        r = track_channels_sharded(config, signal, channels, mesh,
+                                   n_ms=block_ms, state=state)
+        state = r.final_state
+        parts.append(r)
+
+    cat = lambda name: np.concatenate([getattr(p, name) for p in parts], axis=1)
+    return TrackResults(
+        prn=parts[0].prn, status=parts[0].status,
+        final_state=parts[-1].final_state,
+        **{k: cat(k) for k in (
+            "absolute_sample", "sample_frac", "code_freq", "carr_freq",
+            "i_p", "i_e", "i_l", "q_e", "q_p", "q_l", "dll_discr",
+            "dll_discr_filt", "pll_discr", "pll_discr_filt")})

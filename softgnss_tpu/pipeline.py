@@ -185,13 +185,15 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
 
     ``mesh``: a jax.sharding.Mesh (softgnss_tpu.parallel.receiver_mesh)
     to distribute the run: acquisition shards its PRN axis, tracking
-    shards per ``shard`` — 'channel' (exact data-parallel) or 'time'
-    (sequence-parallel blocks with warm-up re-lock).
+    shards per ``shard`` — 'channel' (exact data-parallel), 'time'
+    (sequence-parallel blocks with warm-up re-lock), or 'time-exact'
+    (sequential-carry time blocks, bit-exact anchor).
     """
     import os
 
-    if shard not in ("channel", "time"):
-        raise ValueError(f"shard must be 'channel' or 'time', got {shard!r}")
+    if shard not in ("channel", "time", "time-exact"):
+        raise ValueError(
+            f"shard must be 'channel', 'time', or 'time-exact', got {shard!r}")
     results = ReceiverResults(config=config)
     if signal is None:
         if not (file_name or config.file_name):
@@ -254,10 +256,13 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
     # --- tracking -----------------------------------------------------------
     t0 = time.monotonic()
     if mesh is not None:
-        from softgnss_tpu.parallel import track_channels_sharded, track_time_sharded
+        from softgnss_tpu.parallel import (track_channels_sharded,
+                                           track_time_exact,
+                                           track_time_sharded)
 
         track_fn = {"channel": track_channels_sharded,
-                    "time": track_time_sharded}[shard]
+                    "time": track_time_sharded,
+                    "time-exact": track_time_exact}[shard]
         results.tracking = track_fn(config, signal, results.channels, mesh,
                                     n_ms=n_ms)
     else:

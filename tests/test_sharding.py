@@ -141,6 +141,41 @@ class TestTimeShardedTracking:
             track_time_sharded(cfg, signal, channels, mesh, n_ms=333)
 
 
+class TestTimeExactTracking:
+    def test_exact_vs_sequential(self, cfg, capture):
+        """The sequential-carry handoff mode (SURVEY §5.7) is the exact
+        anchor: integer-NCO observables (everything pseudoranges consume)
+        and nav-bit signs are bit-identical to the single-device tracker;
+        f64 loop-filter streams agree to ~1 ulp (each block length is a
+        separate XLA compilation with its own fusion choices)."""
+        from softgnss_tpu.parallel import track_time_exact
+
+        _, signal, channels = capture
+        mesh = receiver_mesh(cfg, n_time=4, n_channel=2)
+        ref = track(cfg, signal, channels, n_ms=N_MS)
+        ex = track_time_exact(cfg, signal, channels, mesh, n_ms=N_MS)
+        for name in ("absolute_sample", "sample_frac"):
+            np.testing.assert_array_equal(getattr(ex, name), getattr(ref, name),
+                                          err_msg=name)
+        np.testing.assert_array_equal(np.sign(ex.i_p), np.sign(ref.i_p))
+        for name in ("code_freq", "carr_freq", "i_p", "q_p", "i_e", "q_e",
+                     "i_l", "q_l", "dll_discr_filt", "pll_discr_filt"):
+            np.testing.assert_allclose(getattr(ex, name), getattr(ref, name),
+                                       rtol=1e-5, atol=0.01, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(ex.final_state.ptr),
+                                      np.asarray(ref.final_state.ptr))
+        np.testing.assert_array_equal(np.asarray(ex.final_state.code_rem_q),
+                                      np.asarray(ref.final_state.code_rem_q))
+
+    def test_rejects_indivisible(self, cfg, capture):
+        from softgnss_tpu.parallel import track_time_exact
+
+        _, signal, channels = capture
+        mesh = receiver_mesh(cfg, n_time=4, n_channel=2)
+        with pytest.raises(ValueError, match="divisible"):
+            track_time_exact(cfg, signal, channels, mesh, n_ms=333)
+
+
 class TestShardedPipeline:
     def test_run_receiver_with_mesh(self, cfg, capture):
         """mesh= distributes acquisition (PRN axis) and tracking (channel
@@ -158,6 +193,9 @@ class TestShardedPipeline:
         t_sh = run_receiver(cfg, signal=signal, n_ms=300, navigate=False,
                             mesh=mesh, shard="time")
         assert t_sh.tracking.i_p.shape == base.tracking.i_p.shape
+        ex_sh = run_receiver(cfg, signal=signal, n_ms=300, navigate=False,
+                             mesh=mesh, shard="time-exact")
+        np.testing.assert_array_equal(ex_sh.tracking.i_p, base.tracking.i_p)
         with pytest.raises(ValueError, match="shard"):
             run_receiver(cfg, signal=signal, n_ms=300, navigate=False,
                          mesh=mesh, shard="bogus")
