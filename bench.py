@@ -91,7 +91,10 @@ def main() -> None:
     n_ms = int(os.environ.get("BENCH_MS", "2000"))
     oracle_ms = int(os.environ.get("BENCH_ORACLE_MS", "40"))
 
-    config = sg.default_config(number_of_channels=n_channels)
+    config = sg.default_config(
+        number_of_channels=n_channels,
+        correlator_impl=os.environ.get("BENCH_IMPL", "auto"),
+        pallas_contraction=os.environ.get("BENCH_CONTRACTION", "mxu"))
     spc = config.samples_per_code
     rng = np.random.default_rng(42)
 

@@ -156,7 +156,7 @@ class ReceiverConfig:
     #: dynamic_slice and re-framed at static offsets, instead of one
     #: per-channel dynamic_slice (an XLA gather) every millisecond — the
     #: dominant per-step cost of the naive scan.  <= 1 disables blocking
-    #: (the round-1 per-ms path); ignored by correlator_impl='pallas'
+    #: (the round-1 per-ms path)
     track_block_ms: int = 64
     #: total static slack (samples) around each block-mode frame, absorbing
     #: code-phase drift of the true ms boundaries away from the nominal
@@ -166,10 +166,18 @@ class ReceiverConfig:
     #: unroll factor of the per-ms tracking scan (amortizes per-iteration
     #: loop overhead; the recurrence itself stays sequential)
     track_unroll: int = 4
-    #: correlator strategy: 'onehot' (gather-free tiled contraction — the
-    #: TPU-fast path, see softgnss_tpu.track.tables) or 'gather' (direct
-    #: per-sample table lookup, the reference formulation)
-    correlator_impl: str = "onehot"
+    #: correlator strategy: 'auto' (resolve per backend — see
+    #: :attr:`resolved_correlator`), 'onehot' (gather-free tiled
+    #: contraction — the XLA fast path, see softgnss_tpu.track.tables),
+    #: 'pallas' (the same math fused into one Mosaic kernel per ms,
+    #: avoiding the one-hot / baseband HBM round-trips — measured ~45%
+    #: faster than 'onehot' on v5e, see softgnss_tpu.track.pallas_kernel),
+    #: or 'gather' (direct per-sample table lookup, the reference
+    #: formulation — exact but pathologically slow on TPU)
+    correlator_impl: str = "auto"
+    #: fused-kernel contraction variant: 'mxu' (code x one-hot batched
+    #: matmul, then masked reductions) or 'vpu' (one-hot masked sums)
+    pallas_contraction: str = "mxu"
     #: mesh axis names for sharded runs
     time_axis: str = "time"
     channel_axis: str = "channel"
@@ -218,7 +226,7 @@ class ReceiverConfig:
         pull-in plus the code-Doppler rate (|doppler| < 6 kHz on L1 =>
         < 3.9e-6 of the code rate) integrated over the block, plus the
         +-1-sample code-period jitter; a few samples of slack on top."""
-        if self.track_block_ms <= 1 or self.correlator_impl == "pallas":
+        if self.track_block_ms <= 1:
             return 0
         if self.track_frame_margin > 0:
             return self.track_frame_margin // 2
@@ -237,11 +245,29 @@ class ReceiverConfig:
         int8 capture is consumed through an int16/int32 view (fast batched
         slicing + byte-plane-ordered correlation, see track.scan)."""
         p = self.track_pack_size
-        if (p in (2, 4) and self.correlator_impl == "onehot"
+        if (p in (2, 4) and self.correlator_impl in ("auto", "onehot", "pallas")
                 and self.track_block_ms > 1
                 and self.samples_per_code % p == 0 and self.track_tile % p == 0):
             return p
         return 1
+
+    @property
+    def resolved_correlator(self) -> str:
+        """The correlator implementation actually used by the tracker.
+
+        'auto' picks the fused Pallas kernel on TPU whenever the packed
+        block-mode path it rides on is available (int8 capture consumed
+        through an int16/int32 view — see :attr:`track_pack`), and the
+        XLA one-hot contraction everywhere else (CPU/GPU, where the
+        Mosaic kernel would run interpreted).  Explicit values pass
+        through untouched."""
+        if self.correlator_impl != "auto":
+            return self.correlator_impl
+        import jax
+
+        if jax.default_backend() == "tpu" and self.track_pack > 1:
+            return "pallas"
+        return "onehot"
 
     @property
     def track_window(self) -> int:

@@ -297,19 +297,20 @@ def _frame_ms(config: ReceiverConfig, frame, base_ptr, tables, carr_basis,
     bb2 = sin_turns(jnp.stack([turns, turns + 0.25])) * raw[None]  # (2, W)
 
     # --- six correlators (reference: tracking.py:209-219) ------------------
-    if config.correlator_impl == "onehot":
+    if config.resolved_correlator == "onehot":
         if config.track_pack != 1:
             raise ValueError(
                 "flat _frame_ms used with byte-plane tables "
                 "(config.track_pack > 1); use _frame_ms_packed")
         i_e, i_p, i_l, q_e, q_p, q_l = _correlate_onehot(
             config, tables, rem_eff, step_q, bb2)
-    elif config.correlator_impl == "gather":
+    elif config.resolved_correlator == "gather":
         tq = rem_eff + step_q * jnp.arange(blk_win, dtype=jnp.int64)
         i_e, i_p, i_l, q_e, q_p, q_l = _correlate_gather(
             config, tables, tq, bb2[0], bb2[1])
     else:
-        raise ValueError(f"unknown correlator_impl {config.correlator_impl!r}")
+        raise ValueError(
+            f"unknown correlator_impl {config.resolved_correlator!r}")
 
     new, outs = _filters_and_outputs(config, carr_basis, active, st, step_q, blk, w,
                                      (i_e, i_p, i_l, q_e, q_p, q_l))
@@ -364,6 +365,22 @@ def _frame_ms_packed(config: ReceiverConfig, frame32, base_ptr, tables,
     return new, outs, ovf
 
 
+def _packed_view(signal, pack: int):
+    """int16/int32 little-endian view of an int8 capture, built from 1D
+    strided slices + shifts.  A direct ``reshape(-1, pack)`` + bitcast is
+    the natural spelling, but on TPU the (N/pack, pack)-shaped intermediate
+    can be materialized with its pack-wide minor dim padded to 128 lanes —
+    a 128/pack x HBM blowup that OOMs real-length captures at compile time.
+    The strided formulation stays 1D throughout; it runs once per tracking
+    call and is reused by every scan step."""
+    n = signal.shape[0] // pack * pack
+    dt = jnp.int16 if pack == 2 else jnp.int32
+    word = signal[0:n:pack].astype(dt) & 0xFF
+    for b in range(1, pack - 1):
+        word = word | ((signal[b:n:pack].astype(dt) & 0xFF) << (8 * b))
+    return word | (signal[pack - 1:n:pack].astype(dt) << (8 * (pack - 1)))
+
+
 def _channel_ms(config: ReceiverConfig, signal, tables, carr_basis, active, st: TrackState):
     """One millisecond of one channel, slicing its window from the capture.
     All inputs per-channel scalars except ``signal`` (shared capture) and
@@ -372,9 +389,7 @@ def _channel_ms(config: ReceiverConfig, signal, tables, carr_basis, active, st: 
         # tables are in byte-plane tile order: consume the capture through
         # the packed view (word-aligned; the <=3-sample shift rides o)
         pk = config.track_pack
-        sigp = jax.lax.bitcast_convert_type(
-            signal[:signal.shape[0] // pk * pk].reshape(-1, pk),
-            jnp.int16 if pk == 2 else jnp.int32)
+        sigp = _packed_view(signal, pk)
         start = st.ptr // pk
         frame = jax.lax.dynamic_slice(sigp, (start,),
                                       (config.track_window // pk,))
@@ -453,35 +468,50 @@ def _filters_and_outputs(config: ReceiverConfig, carr_basis, active, st,
     return new, outs
 
 
-def _channels_ms_pallas(config: ReceiverConfig, signal, codes_t, h_base,
-                        carr_basis, active, st: TrackState):
+def _frame_ms_pallas(config: ReceiverConfig, frame_pk, base_ptr, codes_t,
+                     hb_span, carr_basis, active, st: TrackState):
     """One millisecond for ALL channels via the fused Pallas correlator.
 
-    ``codes_t``: (C, 3, T, w) transposed static code tables;
-    ``h_base``: (C, T) i64.  Scalar NCO bookkeeping stays exact int64 XLA.
+    Channel-batched drop-in for the vmapped :func:`_frame_ms_packed`: the
+    same packed frame interface (``frame_pk``: (C, track_window/pack)
+    int16/int32, ``base_ptr``: (C,) absolute sample of frame element 0),
+    the same exact int64 NCO bookkeeping and f64 loop filters in XLA —
+    only the per-sample correlator math moves into the Mosaic kernel
+    (softgnss_tpu.track.pallas_kernel).  ``codes_t``: (C, T, 3, w)
+    transposed static code tables; ``hb_span``: (C, G, 1, span) i32 static
+    table-base map (pallas_kernel.hb_span_map).
     """
-    from softgnss_tpu.track.pallas_kernel import fused_correlate, phase_decomposition
+    from softgnss_tpu.track.pallas_kernel import (PHASE_BIAS,
+                                                  fused_correlate_ms,
+                                                  phase_digits)
 
     fs = config.sampling_freq
     blk_win = config.track_window
-    tile = config.track_tile
     code_len_q = config.code_length * CODE_ONE
+    s_chips = config.code_freq_basis / config.sampling_freq
+    assert (subdivision(config) * s_chips * (2 * config.track_frame_pre + 64)
+            < PHASE_BIAS), "track_frame_pre too large for the phase bias"
 
     step_q = code_step_q(st.code_freq, fs)                       # (C,) i64
     blk = (code_len_q - st.code_rem_q + step_q - 1) // step_q
+    o = st.ptr - base_ptr                                        # (C,) i64
+    ovf = jnp.where(active,
+                    jnp.maximum(jnp.maximum(-o, o + blk - blk_win), 0),
+                    jnp.int64(0))
 
-    windows = jax.vmap(
-        lambda p: jax.lax.dynamic_slice(signal, (p,), (blk_win,)))(st.ptr)
-    windows = windows.astype(jnp.float32).reshape(len(st.ptr), -1, tile)
-
-    h_int, frac24, step24 = phase_decomposition(config, st.code_rem_q, step_q, h_base)
-    carr_w = carrier_step_u32(st.carr_freq, fs)                  # (C,) i32
-    scalars = jnp.stack([step24, st.carr_phase, carr_w,
-                         blk.astype(jnp.int32)], axis=1)
-    corr = fused_correlate(config, windows, h_int, frac24, codes_t, scalars)
+    rem_eff = st.code_rem_q - step_q * o
+    digs, sp0, sp1, sp2 = phase_digits(config, rem_eff, step_q)
+    w = carrier_step_u32(st.carr_freq, fs)                       # (C,) i32
+    o32 = o.astype(jnp.int32)
+    phase_eff = st.carr_phase - w * o32
+    z = jnp.zeros_like(o32)
+    scal = jnp.stack([phase_eff, w, sp0, sp1, sp2, o32,
+                      blk.astype(jnp.int32), z], axis=1)
+    corr = fused_correlate_ms(config, frame_pk, scal, digs, hb_span, codes_t)
     corr6 = tuple(corr[:, i] for i in range(6))
-    return _filters_and_outputs(config, carr_basis, active, st, step_q, blk,
-                                carr_w, corr6)
+    new, outs = _filters_and_outputs(config, carr_basis, active, st, step_q,
+                                     blk, w, corr6)
+    return new, outs, ovf
 
 
 def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
@@ -528,17 +558,33 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
     # shift rides the frame o-offset (a deterministic function of the
     # anchor, so resume grouping is unaffected).
     pack = config.track_pack
+    impl = config.resolved_correlator
+    if impl == "pallas" and pack <= 1:
+        raise ValueError(
+            "correlator_impl='pallas' consumes the capture through the "
+            "packed int16/int32 view: need an int8 capture with "
+            "samples_per_code and track_tile divisible by track_pack_size "
+            f"(track_pack resolved to {pack})")
     if pack > 1:
         if signal.dtype != jnp.int8:
             raise ValueError(
                 f"track_pack={pack} requires an int8 capture, got {signal.dtype}")
-        sig_pack = jax.lax.bitcast_convert_type(
-            signal[:sig_len // pack * pack].reshape(-1, pack),
-            jnp.int16 if pack == 2 else jnp.int32)
-        step_fn_packed = jax.vmap(
-            lambda frame, base, tab, cb, act, st: _frame_ms_packed(
-                config, frame, base, tab, cb, act, st),
-            in_axes=(0, 0, 0, 0, 0, 0))
+        sig_pack = _packed_view(signal, pack)
+        if impl == "pallas":
+            from softgnss_tpu.track.pallas_kernel import hb_span_map
+
+            codes_t = jnp.transpose(jnp.asarray(tables.codes_static),
+                                    (0, 1, 3, 2))            # (C, T, 3, w)
+            hb_span = hb_span_map(config, tables.h_base)
+
+            def step_fn_packed(frame, base, tab, cb, act, st):
+                return _frame_ms_pallas(config, frame, base, codes_t,
+                                        hb_span, cb, act, st)
+        else:
+            step_fn_packed = jax.vmap(
+                lambda frame, base, tab, cb, act, st: _frame_ms_packed(
+                    config, frame, base, tab, cb, act, st),
+                in_axes=(0, 0, 0, 0, 0, 0))
     else:
         step_fn = jax.vmap(
             lambda frame, base, tab, cb, act, st: _frame_ms(
@@ -640,19 +686,8 @@ def _track_device(config: ReceiverConfig, signal, tables: CorrelatorTables,
                   carr_basis, active, n_ms: int, state0: TrackState,
                   start_ms: int = 0):
     """Scan over milliseconds with channels vmapped (or channel-batched
-    through the fused Pallas kernel when correlator_impl='pallas')."""
-
-    if config.correlator_impl == "pallas":
-        codes_t = jnp.transpose(tables.codes_static, (0, 1, 3, 2))  # (C,T,3,w)
-        h_base = jnp.asarray(tables.h_base, jnp.int64)
-
-        def step(state, _):
-            return _channels_ms_pallas(config, signal, codes_t, h_base,
-                                       carr_basis, active, state)
-
-        final, ys = jax.lax.scan(step, state0, None, length=n_ms)
-        return final, ys, jnp.int64(0)
-
+    through the fused Pallas kernel when correlator_impl='pallas' — same
+    block-mode window extraction, different per-ms correlator)."""
     return _scan_ms(config, signal, tables, carr_basis, active, n_ms, state0,
                     start_ms)
 

@@ -147,6 +147,20 @@ def test_onehot_window_margin_at_extreme_doppler(cfg):
         assert np.max(np.abs(a.i_p[0] - b.i_p[0])) / scale < 1e-4, doppler
 
 
+def test_auto_correlator_resolution(cfg):
+    """'auto' picks pallas only on a TPU backend with the packed view
+    available; explicit values pass through untouched."""
+    assert cfg.correlator_impl == "auto"
+    assert cfg.track_pack > 1
+    assert cfg.resolved_correlator == "onehot"  # conftest pins CPU
+    assert cfg.with_options(
+        correlator_impl="gather").resolved_correlator == "gather"
+    assert cfg.with_options(
+        correlator_impl="pallas").resolved_correlator == "pallas"
+    # no packed view (odd pack divisibility) => never pallas, even on TPU
+    assert cfg.with_options(track_pack_size=1).track_pack == 1
+
+
 def test_pallas_matches_onehot_impl(cfg, setup):
     """The fused Pallas kernel (interpret mode on CPU) reproduces the
     correlator sums within its Q24/f32-mantissa phase quantization."""
