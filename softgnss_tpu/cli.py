@@ -77,8 +77,12 @@ def main(argv=None) -> int:
     parser.add_argument("--checkpoint", help="tracking checkpoint .npz path")
     parser.add_argument("--mesh", metavar="TIMExCHANNEL",
                         help="distribute over a device mesh, e.g. '1x8' or '2x4'")
-    parser.add_argument("--shard", choices=["channel", "time"], default="channel",
+    parser.add_argument("--shard", choices=["channel", "time", "time-exact"],
+                        default="channel",
                         help="tracking sharding strategy when --mesh is set")
+    parser.add_argument("--stream", action="store_true",
+                        help="software-pipeline tracking over time chunks "
+                             "(overlap capture upload / compute / readback)")
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
@@ -136,7 +140,8 @@ def main(argv=None) -> int:
 
     results = run_receiver(config, signal=signal, file_name=args.file or None,
                            probe=args.probe, navigate=not args.no_nav,
-                           checkpoint=args.checkpoint, mesh=mesh, shard=args.shard)
+                           checkpoint=args.checkpoint, mesh=mesh,
+                           shard=args.shard, stream=args.stream)
     print(results.summary())
 
     if args.synthetic and results.has_fix:

@@ -190,6 +190,13 @@ class ReceiverConfig:
     #: at ~5% redundant compute on the reference workload (8 shards, 37 s).
     #: The exact-carry anchor is shard='time-exact'.
     time_shard_warmup_ms: int = 250
+    #: time-chunk size (ms) of the software-pipelined tracker
+    #: (softgnss_tpu.parallel.stream): capture upload, device compute, and
+    #: output readback overlap across chunks.  0 = monolithic (upload the
+    #: whole capture, then track, then fetch).  Enable via
+    #: ``run_receiver(..., stream=True)`` or ``track_streamed``; rounded
+    #: down to a multiple of track_block_ms
+    track_stream_chunk_ms: int = 4096
 
     # --- derived ----------------------------------------------------------------
     @property

@@ -14,6 +14,9 @@ table); this package supplies the TPU-native equivalents:
   sequential loop-filter carry (softgnss_tpu.parallel.track),
 * **exact time blocking** — the sequential-carry handoff anchor
   (bit-identical to single-device; softgnss_tpu.parallel.track_time_exact),
+* **pipeline (stage) overlap** — software-pipelined tracking whose
+  capture upload / device compute / output readback overlap across time
+  chunks (softgnss_tpu.parallel.track_streamed),
 * multi-host bootstrap helpers (softgnss_tpu.parallel.mesh).
 """
 
@@ -23,6 +26,7 @@ from softgnss_tpu.parallel.mesh import (  # noqa: F401
     receiver_mesh,
 )
 from softgnss_tpu.parallel.acquire import acquire_sharded  # noqa: F401
+from softgnss_tpu.parallel.stream import track_streamed  # noqa: F401
 from softgnss_tpu.parallel.track import (  # noqa: F401
     track_channels_sharded,
     track_time_exact,

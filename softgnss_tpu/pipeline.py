@@ -172,7 +172,8 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
                  probe: bool = False, navigate: bool = True,
                  checkpoint: str | None = None,
                  channels: Channels | None = None,
-                 mesh=None, shard: str = "channel") -> ReceiverResults:
+                 mesh=None, shard: str = "channel",
+                 stream: bool = False) -> ReceiverResults:
     """Run the full receiver chain.
 
     ``signal``: in-memory int8 capture (absolute sample indexing including
@@ -188,6 +189,12 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
     shards per ``shard`` — 'channel' (exact data-parallel), 'time'
     (sequence-parallel blocks with warm-up re-lock), or 'time-exact'
     (sequential-carry time blocks, bit-exact anchor).
+
+    ``stream``: software-pipeline the tracking stage over
+    ``config.track_stream_chunk_ms`` time chunks (capture upload, device
+    compute, and output readback overlap — softgnss_tpu.parallel.stream);
+    integer observables identical to the monolithic run.  Single-device
+    only (exclusive with ``mesh``).
     """
     import os
 
@@ -255,7 +262,14 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
 
     # --- tracking -----------------------------------------------------------
     t0 = time.monotonic()
-    if mesh is not None:
+    if stream and mesh is not None:
+        raise ValueError("stream=True is single-device (exclusive with mesh=)")
+    if stream:
+        from softgnss_tpu.parallel import track_streamed
+
+        results.tracking = track_streamed(config, signal, results.channels,
+                                          n_ms=n_ms)
+    elif mesh is not None:
         from softgnss_tpu.parallel import (track_channels_sharded,
                                            track_time_exact,
                                            track_time_sharded)
