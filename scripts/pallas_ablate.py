@@ -23,7 +23,8 @@ import softgnss_tpu as sg
 from softgnss_tpu.track.pallas_kernel import _kernel, grid_shape
 from softgnss_tpu.track.tables import onehot_width
 
-cfg = sg.default_config(number_of_channels=12, correlator_impl="pallas")
+cfg = sg.default_config(number_of_channels=12, correlator_impl="pallas",
+                        pallas_k_tiles=int(os.environ.get("K_CAP", "0")))
 C = 12
 pack = cfg.track_pack
 tile = cfg.track_tile
@@ -37,12 +38,12 @@ print(f"C={C} pack={pack} tile={tile} t_pp={t_pp} w={w} "
 
 rng = np.random.default_rng(0)
 frame = jnp.asarray(rng.integers(-2000, 2000, (C, cfg.track_window // pack),
-                                 dtype=np.int16))
+                                 dtype=np.int32))
 scal = jnp.asarray(rng.integers(1, 1000, (C, 8), dtype=np.int32))
 digs = jnp.asarray(rng.integers(0, 30, (C, G, 1, 4), dtype=np.int32))
 hb = jnp.asarray(rng.integers(0, 30, (C, G, 1, span), dtype=np.int32))
-codes = jnp.asarray(rng.choice([-1.0, 1.0],
-                               (C, pack * t_pp, 3, w)).astype(np.float32))
+codes = jnp.asarray(rng.choice([-1, 1],
+                               (C, pack * t_pp, 3, w)).astype(np.int8))
 
 
 def make_fn(mode):

@@ -178,6 +178,11 @@ class ReceiverConfig:
     #: fused-kernel contraction variant: 'mxu' (code x one-hot batched
     #: matmul, then masked reductions) or 'vpu' (one-hot masked sums)
     pallas_contraction: str = "mxu"
+    #: cap on tiles per fused-kernel grid step (the largest divisor of the
+    #: per-plane tile count <= the cap is used).  Fewer, fatter grid steps
+    #: amortize per-step Mosaic overhead at the cost of unrolled kernel
+    #: size; 0 = default cap (32)
+    pallas_k_tiles: int = 0
     #: mesh axis names for sharded runs
     time_axis: str = "time"
     channel_axis: str = "channel"

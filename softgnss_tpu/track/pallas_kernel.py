@@ -85,7 +85,8 @@ _MASK16 = (1 << 16) - 1
 def grid_shape(config: ReceiverConfig) -> tuple[int, int]:
     """(k_tiles, t_groups): tiles per grid step and grid steps per plane."""
     t_pp = (config.track_window // config.track_pack) // config.track_tile
-    k_tiles = max(d for d in range(1, min(33, t_pp + 1)) if t_pp % d == 0)
+    cap = config.pallas_k_tiles or 32
+    k_tiles = max(d for d in range(1, min(cap + 1, t_pp + 1)) if t_pp % d == 0)
     return k_tiles, t_pp // k_tiles
 
 
@@ -148,12 +149,16 @@ def _kernel(scal_ref, frame_ref, digs_ref, hb_ref, codes_ref,
     t2 = a2 + sp2 * lane + (t1 >> 16)
     hrel = (t2 >> 8) - hb_ref[:, 0, 0, :]                    # (C, span)
 
+    # tables are stored int8 (+-1 chips): the (C, T, 3, w) stream is the
+    # kernel's dominant HBM traffic, and i8 quarters it; convert the whole
+    # grid-step block in ONE op (per-tile converts pay a relayout each)
+    codes_f = codes_ref[...].astype(jnp.float32)             # (C, k, 3, w)
     acc_i = jnp.zeros((out_ref.shape[0], 3), jnp.float32)
     acc_q = jnp.zeros((out_ref.shape[0], 3), jnp.float32)
     for k in range(k_tiles):
         h_local = hrel[:, k * tile:(k + 1) * tile]           # (C, tile)
         oh = h_local[:, None, :] == iota_w                   # (C, w, tile)
-        codes = codes_ref[:, k]                              # (C, 3, w)
+        codes = codes_f[:, k]                                # (C, 3, w)
         bi = bb_i[:, k * tile:(k + 1) * tile]
         bq = bb_q[:, k * tile:(k + 1) * tile]
 
@@ -183,8 +188,9 @@ def fused_correlate_ms(config: ReceiverConfig, frame_pk, scal, digs, hb_span,
 
     frame_pk: (C, win/pack) int16/int32 packed frame; scal: (C, 8) i32;
     digs: (C, G, 1, 4) i32 per-grid-step phase digits (:func:`phase_digits`);
-    hb_span: (C, G, 1, span) i32 (:func:`hb_span_map`); codes_t:
-    (C, T, 3, w) f32.  Returns (C, 6) f32 [i_e i_p i_l q_e q_p q_l].
+    hb_span: (C, G, 1, span) i16 (:func:`hb_span_map`); codes_t:
+    (C, T, 3, w) i8 (+-1 chips).  Returns (C, 6) f32
+    [i_e i_p i_l q_e q_p q_l].
     """
     c = frame_pk.shape[0]
     pack = config.track_pack

@@ -574,7 +574,7 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
             from softgnss_tpu.track.pallas_kernel import hb_span_map
 
             codes_t = jnp.transpose(jnp.asarray(tables.codes_static),
-                                    (0, 1, 3, 2))            # (C, T, 3, w)
+                                    (0, 1, 3, 2)).astype(jnp.int8)  # (C,T,3,w)
             hb_span = hb_span_map(config, tables.h_base)
 
             def step_fn_packed(frame, base, tab, cb, act, st):
