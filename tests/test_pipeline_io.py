@@ -211,6 +211,16 @@ class TestCLI:
         out = capsys.readouterr().out
         assert "Probed" in out
 
+    def test_cli_stream(self, small_capture, tmp_path, capsys):
+        cfg, sats, sig = small_capture
+        path = str(tmp_path / "cap.bin")
+        sio.write_if_samples(path, sig)
+        rc = main(["--fast", "--file", path, "--stream", "--no-nav", "--cpu",
+                   "--ms", "300", "--set", "track_stream_chunk_ms=128"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Tracked 300 ms" in out
+
     def test_cli_requires_input(self):
         with pytest.raises(SystemExit):
             main(["--fast"])
