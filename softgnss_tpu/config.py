@@ -96,8 +96,17 @@ class ReceiverConfig:
     dll_loop_gain: float = 1.0
     #: PLL loop gain (reference: tracking.py:52)
     pll_loop_gain: float = 0.25
-    #: predetection integration time, s (reference: tracking.py:42,49)
-    pdi_s: float = 0.001
+    #: predetection (coherent) integration time in code periods (ms).
+    #: 1 = the reference's hard-coded PDI (tracking.py:42,49).  K > 1
+    #: (beyond the reference) accumulates the six correlator sums over K
+    #: consecutive code periods and updates the DLL/PLL at that cadence,
+    #: lowering the tracking noise floor by ~10 log10(K) dB of coherent
+    #: gain; per-ms observables (I_P nav-bit stream, absolute_sample
+    #: pseudorange counters) keep their 1-ms cadence.  K should divide 20
+    #: (the nav-bit period) and the capture should be near a bit edge at
+    #: tracking start for the full gain — a data-bit flip inside a window
+    #: partially cancels that window's sums
+    pdi_ms: int = 1
 
     # --- navigation solution -------------------------------------------------
     #: period between PVT fixes, ms (reference: initialize.py:144)
@@ -226,6 +235,12 @@ class ReceiverConfig:
         """Absolute carrier frequencies searched (reference: acquisition.py:99-101)."""
         lo = self.intermediate_freq - self.acq_search_band_khz / 2.0 * 1000.0
         return tuple(lo + self.acq_doppler_step_hz * i for i in range(self.num_doppler_bins))
+
+    @property
+    def pdi_s(self) -> float:
+        """Predetection integration time in seconds (feeds the loop-filter
+        update gain, reference tracking.py:221-249)."""
+        return self.pdi_ms * 1e-3
 
     @property
     def track_frame_pre(self) -> int:

@@ -74,6 +74,8 @@ def oracle_track_channel(config: ReceiverConfig, signal: np.ndarray, prn: int,
     carr_freq = float(acq_freq)
     rem_carr = 0.0
     nco_carr = err_carr = nco_code = err_code = 0.0
+    K = config.pdi_ms
+    acc = [0.0] * 6
 
     log = {k: np.zeros(n_ms) for k in (
         "absolute_sample", "code_freq", "carr_freq", "i_p", "i_e", "i_l",
@@ -103,16 +105,23 @@ def oracle_track_channel(config: ReceiverConfig, signal: np.ndarray, prn: int,
         i_p, q_p = prompt @ i_bb, prompt @ q_bb
         i_l, q_l = late @ i_bb, late @ q_bb
 
-        c_err = np.arctan(q_p / i_p) / (2.0 * np.pi)
-        nco_carr += tau2c / tau1c * (c_err - err_carr) + c_err * (pdi / tau1c)
-        err_carr = c_err
-        carr_freq = acq_freq + nco_carr
+        # coherent accumulation over config.pdi_ms code periods (K == 1 is
+        # the reference cadence); filters update on the K-period totals
+        acc = [a + v for a, v in zip(acc, (i_e, i_p, i_l, q_e, q_p, q_l))]
+        if ms % K == K - 1:
+            a_ie, a_ip, a_il, a_qe, a_qp, a_ql = acc
+            c_err = np.arctan(a_qp / a_ip) / (2.0 * np.pi)
+            nco_carr += tau2c / tau1c * (c_err - err_carr) + c_err * (pdi / tau1c)
+            err_carr = c_err
+            carr_freq = acq_freq + nco_carr
 
-        e_mag, l_mag = np.hypot(i_e, q_e), np.hypot(i_l, q_l)
-        d_err = (e_mag - l_mag) / (e_mag + l_mag)
-        nco_code += tau2d / tau1d * (d_err - err_code) + d_err * (pdi / tau1d)
-        err_code = d_err
-        code_freq = config.code_freq_basis - nco_code
+            e_mag, l_mag = np.hypot(a_ie, a_qe), np.hypot(a_il, a_ql)
+            d_err = (e_mag - l_mag) / (e_mag + l_mag)
+            nco_code += tau2d / tau1d * (d_err - err_code) + d_err * (pdi / tau1d)
+            err_code = d_err
+            code_freq = config.code_freq_basis - nco_code
+            acc = [0.0] * 6
+        d_err, c_err = err_code, err_carr
 
         log["absolute_sample"][ms] = ptr
         log["code_freq"][ms] = code_freq

@@ -186,6 +186,9 @@ def propagate_state(config: ReceiverConfig, channels: Channels,
         code_err=jnp.zeros(c, jnp.float64),
         ms=jnp.full(c, start_ms, jnp.int64),
         block_base=jnp.asarray(ptr - config.track_frame_pre, jnp.int64),
+        **{f: jnp.zeros(c, jnp.float32)
+           for f in ("acc_i_e", "acc_i_p", "acc_i_l",
+                     "acc_q_e", "acc_q_p", "acc_q_l")},
     )
 
 

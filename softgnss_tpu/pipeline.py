@@ -156,7 +156,12 @@ def load_tracking(path: str) -> TrackResults:
     data = np.load(_checkpoint_path(path), allow_pickle=False)
     state = None
     if "state_ptr" in data:
-        state = TrackState(**{k: data[f"state_{k}"] for k in TrackState._fields})
+        # coherent-accumulator leaves default to zero for checkpoints
+        # written before pdi_ms existed (exact for pdi_ms == 1 runs)
+        state = TrackState(**{
+            k: (data[f"state_{k}"] if f"state_{k}" in data
+                else np.zeros(data["state_ptr"].shape, np.float32))
+            for k in TrackState._fields})
     return TrackResults(
         prn=data["prn"], status=[str(s) for s in data["status"]],
         final_state=state,

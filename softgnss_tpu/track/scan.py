@@ -76,6 +76,20 @@ class TrackState(NamedTuple):
     #: static frames as the uninterrupted run, keeping resume bit-exact
     #: in block mode (see _scan_ms)
     block_base: jnp.ndarray
+    #: f32: partial coherent-integration correlator sums (all zero when
+    #: config.pdi_ms == 1 — the loop filters then consume each code
+    #: period's sums directly, the reference cadence)
+    acc_i_e: jnp.ndarray
+    acc_i_p: jnp.ndarray
+    acc_i_l: jnp.ndarray
+    acc_q_e: jnp.ndarray
+    acc_q_p: jnp.ndarray
+    acc_q_l: jnp.ndarray
+
+
+#: the six coherent-accumulator leaves of TrackState, in corr-tuple order
+_ACC_FIELDS = ("acc_i_e", "acc_i_p", "acc_i_l",
+               "acc_q_e", "acc_q_p", "acc_q_l")
 
 
 class MsOutputs(NamedTuple):
@@ -154,6 +168,7 @@ def initial_state(config: ReceiverConfig, channels: Channels) -> TrackState:
         code_err=jnp.zeros(c, jnp.float64),
         ms=jnp.zeros(c, jnp.int64),
         block_base=ptr - config.track_frame_pre,
+        **{f: jnp.zeros(c, jnp.float32) for f in _ACC_FIELDS},
     )
 
 
@@ -408,27 +423,58 @@ def _filters_and_outputs(config: ReceiverConfig, carr_basis, active, st,
     Pure elementwise math — serves both the per-channel (scalar, vmapped)
     and the channel-batched Pallas step.  Equations per reference
     tracking.py:221-275.
+
+    With ``config.pdi_ms`` K > 1 (coherent integration beyond the
+    reference's fixed 1 ms) the six sums accumulate in the state carry and
+    the discriminators/filters run only on every K-th code period, from
+    the K-period totals; frequencies hold between updates.  K == 1
+    compiles to exactly the reference-cadence program (no accumulator
+    reads).
     """
     code_len_q = config.code_length * CODE_ONE
     tau1c, tau2c = config.pll_taus
     tau1d, tau2d = config.dll_taus
     pdi = config.pdi_s
+    K = config.pdi_ms
     i_e, i_p, i_l, q_e, q_p, q_l = corr
 
+    if K > 1:
+        a_ie, a_ip, a_il, a_qe, a_qp, a_ql = (
+            getattr(st, f) + c for f, c in zip(_ACC_FIELDS, corr))
+        upd = (st.ms % K) == (K - 1)
+    else:
+        a_ie, a_ip, a_il, a_qe, a_qp, a_ql = corr
+        upd = None
+
     # --- PLL (reference: tracking.py:221-235) -------------------------------
-    i_p64, q_p64 = i_p.astype(jnp.float64), q_p.astype(jnp.float64)
+    i_p64, q_p64 = a_ip.astype(jnp.float64), a_qp.astype(jnp.float64)
     safe_ip = jnp.where(i_p64 != 0, i_p64, 1.0)
     carr_err = jnp.where(i_p64 != 0, jnp.arctan(q_p64 / safe_ip), 0.0) / (2.0 * jnp.pi)
     carr_nco = st.carr_nco + tau2c / tau1c * (carr_err - st.carr_err) + carr_err * (pdi / tau1c)
     carr_freq = carr_basis + carr_nco
 
     # --- DLL (reference: tracking.py:237-251) -------------------------------
-    e_mag = jnp.sqrt(i_e.astype(jnp.float64) ** 2 + q_e.astype(jnp.float64) ** 2)
-    l_mag = jnp.sqrt(i_l.astype(jnp.float64) ** 2 + q_l.astype(jnp.float64) ** 2)
+    e_mag = jnp.sqrt(a_ie.astype(jnp.float64) ** 2 + a_qe.astype(jnp.float64) ** 2)
+    l_mag = jnp.sqrt(a_il.astype(jnp.float64) ** 2 + a_ql.astype(jnp.float64) ** 2)
     denom = jnp.where(e_mag + l_mag > 0, e_mag + l_mag, 1.0)
     code_err = jnp.where(e_mag + l_mag > 0, (e_mag - l_mag) / denom, 0.0)
     code_nco = st.code_nco + tau2d / tau1d * (code_err - st.code_err) + code_err * (pdi / tau1d)
     code_freq = config.code_freq_basis - code_nco
+
+    if K > 1:
+        # hold filters/frequencies between the every-K-periods updates;
+        # reset the accumulators at each update
+        carr_err = jnp.where(upd, carr_err, st.carr_err)
+        carr_nco = jnp.where(upd, carr_nco, st.carr_nco)
+        carr_freq = jnp.where(upd, carr_freq, st.carr_freq)
+        code_err = jnp.where(upd, code_err, st.code_err)
+        code_nco = jnp.where(upd, code_nco, st.code_nco)
+        code_freq = jnp.where(upd, code_freq, st.code_freq)
+        z32 = jnp.float32(0.0)
+        accs = {f: jnp.where(upd, z32, a)
+                for f, a in zip(_ACC_FIELDS, (a_ie, a_ip, a_il, a_qe, a_qp, a_ql))}
+    else:
+        accs = {f: getattr(st, f) for f in _ACC_FIELDS}
 
     # --- state update (frozen when inactive) --------------------------------
     new = TrackState(
@@ -443,6 +489,7 @@ def _filters_and_outputs(config: ReceiverConfig, carr_basis, active, st,
         code_err=code_err,
         ms=st.ms + 1,
         block_base=st.block_base,
+        **accs,
     )
     new = jax.tree.map(lambda n, o: jnp.where(active, n, o), new, st)
 

@@ -92,6 +92,44 @@ def test_parity_vs_float64_oracle(cfg, setup):
         assert np.max(np.abs(res.code_freq[c] - ora["code_freq"])) < 0.05
 
 
+def test_pdi_parity_vs_oracle(cfg, setup):
+    """Coherent integration (pdi_ms=4, beyond the reference's fixed 1 ms):
+    the every-4-periods filter cadence matches the float64 oracle running
+    the same accumulate-then-update math."""
+    sats, signal, channels = setup
+    c4 = cfg.with_options(pdi_ms=4)
+    res = track(c4, signal, channels, n_ms=200)
+    for c, sat in enumerate(sats):
+        ora = oracle_track_channel(c4, signal, sat.prn,
+                                   float(channels.acquired_freq[c]),
+                                   int(channels.code_phase[c]), 200)
+        scale = np.sqrt(np.mean(ora["i_p"] ** 2))
+        for key in ("i_p", "q_p", "i_e", "i_l"):
+            dev = np.sqrt(np.mean((res.__dict__[key][c] - ora[key]) ** 2)) / scale
+            assert dev < 1e-3, f"{key} RMS deviation {dev:.2e}"
+        assert np.max(np.abs(res.absolute_sample[c] - ora["absolute_sample"])) <= 1
+        assert np.max(np.abs(res.carr_freq[c] - ora["carr_freq"])) < 0.5
+    # frequencies hold between updates (at ms = 3 mod 4): the diff from
+    # ms m to m+1 is nonzero only when m+1 is an update step
+    changes = np.flatnonzero(np.diff(res.carr_freq[0]) != 0)
+    assert np.all(changes % 4 == 2), changes[:10]
+
+
+def test_pdi_resume_matches_uninterrupted(cfg, setup):
+    """The coherent accumulators ride the state carry: a split run (the
+    split NOT on a PDI boundary) equals the uninterrupted run."""
+    _, signal, channels = setup
+    c5 = cfg.with_options(pdi_ms=5)
+    full = track(c5, signal, channels, n_ms=120)
+    a = track(c5, signal, channels, n_ms=63)
+    b = track(c5, signal, channels, n_ms=57, state=a.final_state)
+    joined = np.concatenate([a.carr_freq, b.carr_freq], axis=1)
+    np.testing.assert_array_equal(joined, full.carr_freq)
+    np.testing.assert_array_equal(
+        np.concatenate([a.absolute_sample, b.absolute_sample], axis=1),
+        full.absolute_sample)
+
+
 def test_onehot_matches_gather_impl(cfg, setup):
     """The gather-free one-hot correlator computes the same sums as the
     reference-style per-sample lookup (f32 accumulation order differs)."""
