@@ -147,6 +147,13 @@ def channel_lock_loss(config, tracking) -> np.ndarray:
     fully-covering window.  Returns (C,) float64; channels with '-' status
     or captures shorter than one metrics window report inf (no demotion
     information).
+
+    The C/N0 floor encodes "the loops cannot hold below this"; with
+    multi-ms coherent integration (``config.pdi_ms`` K > 1) the tracking
+    floor drops by the coherent gain, so the configured threshold is
+    lowered by 10 log10(K) dB.  The phase-lock indicator (computed from
+    20-ms coherent sums) measures actual phase stability and is
+    cadence-independent — its threshold is used as-is.
     """
     i_p = np.asarray(tracking.i_p)
     c, n_ms = i_p.shape
@@ -156,7 +163,9 @@ def channel_lock_loss(config, tracking) -> np.ndarray:
         return loss
     hop = max(window // 2, 20)
     metrics = lock_metrics(config, tracking, window_ms=window, hop_ms=hop)
-    bad = ((metrics["cn0_dbhz"] < config.lock_cn0_threshold_dbhz)
+    cn0_floor = (config.lock_cn0_threshold_dbhz
+                 - 10.0 * np.log10(config.pdi_ms))
+    bad = ((metrics["cn0_dbhz"] < cn0_floor)
            | (metrics["pll_lock"] < config.lock_pll_threshold))
     for ch in range(c):
         if tracking.status[ch] == "-":
