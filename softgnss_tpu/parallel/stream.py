@@ -68,17 +68,17 @@ from softgnss_tpu.track.tables import build_tables
 _DRIFT_REL = 1e-4
 
 
-def _chunk_window(config: ReceiverConfig, m0: int, m1: int,
-                  sig_len: int) -> tuple[int, int]:
-    """[base, end) capture-sample window guaranteed to contain every frame
-    of tracked milliseconds [m0, m1): nominal grid +- the drift envelope,
-    +- the initial code phase (< 1 period) and the static frame slack."""
+def _chunk_span(config: ReceiverConfig, m0: int, m1: int) -> tuple[int, int]:
+    """Unclamped [base, end) capture-sample window guaranteed to contain
+    every frame of tracked milliseconds [m0, m1): nominal grid +- the
+    drift envelope, +- the initial code phase (< 1 period) and the static
+    frame slack."""
     spc = config.samples_per_code
     guard = 2 * spc + config.track_window
     base = config.skip_samples + math.floor(m0 * spc * (1 - _DRIFT_REL)) - guard
     end = (config.skip_samples + math.ceil((m1 + 2) * spc * (1 + _DRIFT_REL))
            + guard)
-    return max(0, base), min(sig_len, end)
+    return base, end
 
 
 def track_streamed(config: ReceiverConfig, signal: np.ndarray,
@@ -129,9 +129,20 @@ def track_streamed(config: ReceiverConfig, signal: np.ndarray,
     carr_dev = jnp.asarray(channels.acquired_freq, jnp.float64)
     active_dev = jnp.asarray(active)
 
+    # ONE window length for every chunk (the drift envelope widens the
+    # needed span slightly with absolute time; per-chunk exact lengths
+    # would give every chunk a distinct signal shape and its own compile).
+    # The tail beyond a chunk's needed span is never consumed.
+    L = min(sig_len,
+            max(b - a for a, b in
+                (_chunk_span(config, start_ms + m0, start_ms + m1)
+                 for m0, m1 in spans)))
+
     def upload(k):
         m0, m1 = spans[k]
-        base, end = _chunk_window(config, start_ms + m0, start_ms + m1, sig_len)
+        base, _ = _chunk_span(config, start_ms + m0, start_ms + m1)
+        base = max(0, min(base, sig_len - L))
+        end = base + L
         return base, end, jnp.asarray(np.ascontiguousarray(signal[base:end]))
 
     st = state
