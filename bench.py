@@ -138,7 +138,9 @@ def main() -> None:
     sig_dev = jnp.asarray(signal)
     args = (sig_dev, jax.tree.map(jnp.asarray, tables),
             jnp.asarray(channels.acquired_freq, jnp.float64), jnp.asarray(active))
-    n_short = max(200, n_ms // 10)
+    if n_ms < 100:
+        raise SystemExit(f"BENCH_MS must be >= 100 for marginal-cost timing, got {n_ms}")
+    n_short = min(max(200, n_ms // 10), n_ms // 2)
 
     def run(length, st):
         final, ys, _ovf = _track_device(config, *args, length, st, 0)

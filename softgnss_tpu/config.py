@@ -246,7 +246,9 @@ class ReceiverConfig:
     def track_frame_pre(self) -> int:
         """Block-mode frame pre-margin: nominal sample offset of a true ms
         boundary inside its static frame (half the frame slack).  0 when
-        window blocking is off (per-ms path / pallas).
+        window blocking is off (the per-ms path; note the pallas
+        correlator requires block mode and runs with a nonzero margin —
+        its PHASE_BIAS bound depends on it).
 
         Auto bound (track_frame_margin=0): the ms boundaries drift from the
         nominal ``j*samples_per_code`` grid by at most ~1 chip of DLL

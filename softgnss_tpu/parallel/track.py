@@ -34,6 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from softgnss_tpu.acquire.search import Channels
 from softgnss_tpu.config import ReceiverConfig
 from softgnss_tpu.track.scan import (
+    _ACC_FIELDS,
     MsOutputs,
     TrackResults,
     TrackState,
@@ -89,14 +90,15 @@ def _table_specs(tables: CorrelatorTables, axis: str):
                               for leaf in tables])
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _track_channels_sharded(config: ReceiverConfig, mesh: Mesh, n_ms: int,
-                            signal, tables, carr_basis, active, state0):
+                            start_phase: int, signal, tables, carr_basis,
+                            active, state0):
     ch_axis = config.channel_axis
 
     def shard_fn(signal_r, tables_l, carr_basis_l, active_l, state_l):
         final, ys, ovf = _scan_ms(config, signal_r, tables_l, carr_basis_l,
-                                  active_l, n_ms, state_l)
+                                  active_l, n_ms, state_l, start_phase)
         return final, ys, ovf[None]
 
     state_spec = jax.tree.map(lambda _: P(ch_axis), state0,
@@ -128,6 +130,7 @@ def track_channels_sharded(config: ReceiverConfig, signal: np.ndarray,
     padded = _pad_channels(config, channels, n_shards)
     tables, carr_basis, active = _track_inputs(config, padded)
     state0 = initial_state(config, padded)
+    start_ms = 0
     if state is not None:
         # graft the resumed leaves onto the padded template (pad rows are
         # inactive; their state is never consumed)
@@ -136,8 +139,14 @@ def track_channels_sharded(config: ReceiverConfig, signal: np.ndarray,
                 np.concatenate([np.asarray(live),
                                 np.asarray(pad_leaf)[n_channels:]])),
             state0, jax.tree.map(np.asarray, state))
+        start_ms = int(np.max(np.asarray(state.ms)))
+    # block-grid phase only (see scan.track): keeps resumes on one compile
+    # AND anchors a resumed run's frames to the same absolute ms grid as
+    # the uninterrupted run
+    B = config.track_block_ms
     final, ys, ovf = _track_channels_sharded(
-        config, mesh, n_ms, jnp.asarray(signal), jax.tree.map(jnp.asarray, tables),
+        config, mesh, n_ms, start_ms % B if B > 1 else 0,
+        jnp.asarray(signal), jax.tree.map(jnp.asarray, tables),
         jnp.asarray(carr_basis), jnp.asarray(active), state0)
     ys = jax.device_get(ys)
     _check_overflow(np.max(jax.device_get(ovf)))
@@ -186,9 +195,7 @@ def propagate_state(config: ReceiverConfig, channels: Channels,
         code_err=jnp.zeros(c, jnp.float64),
         ms=jnp.full(c, start_ms, jnp.int64),
         block_base=jnp.asarray(ptr - config.track_frame_pre, jnp.int64),
-        **{f: jnp.zeros(c, jnp.float32)
-           for f in ("acc_i_e", "acc_i_p", "acc_i_l",
-                     "acc_q_e", "acc_q_p", "acc_q_l")},
+        **{f: jnp.zeros(c, jnp.float32) for f in _ACC_FIELDS},
     )
 
 

@@ -188,7 +188,7 @@ def fused_correlate_ms(config: ReceiverConfig, frame_pk, scal, digs, hb_span,
 
     frame_pk: (C, win/pack) int16/int32 packed frame; scal: (C, 8) i32;
     digs: (C, G, 1, 4) i32 per-grid-step phase digits (:func:`phase_digits`);
-    hb_span: (C, G, 1, span) i16 (:func:`hb_span_map`); codes_t:
+    hb_span: (C, G, 1, span) i32 (:func:`hb_span_map`); codes_t:
     (C, T, 3, w) i8 (+-1 chips).  Returns (C, 6) f32
     [i_e i_p i_l q_e q_p q_l].
     """

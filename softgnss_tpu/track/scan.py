@@ -270,6 +270,19 @@ def _correlate_onehot(config: ReceiverConfig, tables, rem_q, step_q, bb2):
             corr[0, 1], corr[1, 1], corr[2, 1])
 
 
+def _frame_overflow(config: ReceiverConfig, active, o, blk):
+    """>0 when a frame cannot represent its millisecond: the true span
+    [o, o+blk) leaves the static window, or the frame offset exceeds the
+    one-hot table coverage o <= 2*track_frame_pre (the static tables'
+    sub-chip shift margin, tables._frame_shift_subchips) — beyond it,
+    in-window samples' h_local falls outside the table window and would
+    silently match no one-hot row, corrupting the correlators with no
+    other symptom."""
+    bad = jnp.maximum(jnp.maximum(-o, o + blk - config.track_window),
+                      o - 2 * config.track_frame_pre)
+    return jnp.where(active, jnp.maximum(bad, 0), jnp.int64(0))
+
+
 def _frame_ms(config: ReceiverConfig, frame, base_ptr, tables, carr_basis,
               active, st: TrackState):
     """One millisecond of one channel against a pre-extracted sample frame.
@@ -295,9 +308,7 @@ def _frame_ms(config: ReceiverConfig, frame, base_ptr, tables, carr_basis,
     step_q = code_step_q(st.code_freq, fs)
     blk = (code_len_q - st.code_rem_q + step_q - 1) // step_q    # i64 scalar
     o = st.ptr - base_ptr                                        # i64 scalar
-    ovf = jnp.where(active,
-                    jnp.maximum(jnp.maximum(-o, o + blk - blk_win), 0),
-                    jnp.int64(0))
+    ovf = _frame_overflow(config, active, o, blk)
 
     o32 = o.astype(jnp.int32)
     k32 = jnp.arange(blk_win, dtype=jnp.int32)
@@ -350,9 +361,7 @@ def _frame_ms_packed(config: ReceiverConfig, frame32, base_ptr, tables,
     step_q = code_step_q(st.code_freq, fs)
     blk = (code_len_q - st.code_rem_q + step_q - 1) // step_q    # i64 scalar
     o = st.ptr - base_ptr                                        # i64 scalar
-    ovf = jnp.where(active,
-                    jnp.maximum(jnp.maximum(-o, o + blk - blk_win), 0),
-                    jnp.int64(0))
+    ovf = _frame_overflow(config, active, o, blk)
 
     # byte planes: v[b, m] = sample pack*m+b, sign-extended (little-endian)
     pk = config.track_pack
@@ -542,9 +551,7 @@ def _frame_ms_pallas(config: ReceiverConfig, frame_pk, base_ptr, codes_t,
     step_q = code_step_q(st.code_freq, fs)                       # (C,) i64
     blk = (code_len_q - st.code_rem_q + step_q - 1) // step_q
     o = st.ptr - base_ptr                                        # (C,) i64
-    ovf = jnp.where(active,
-                    jnp.maximum(jnp.maximum(-o, o + blk - blk_win), 0),
-                    jnp.int64(0))
+    ovf = _frame_overflow(config, active, o, blk)
 
     rem_eff = st.code_rem_q - step_q * o
     digs, sp0, sp1, sp2 = phase_digits(config, rem_eff, step_q)
@@ -777,10 +784,14 @@ def track(config: ReceiverConfig, signal: np.ndarray, channels: Channels,
     else:
         start_ms = int(np.max(np.asarray(state.ms)))
 
+    # only start_ms % track_block_ms affects the trace (the block-grid
+    # phase); pass the phase so resuming at different points reuses one
+    # compiled executable instead of recompiling the whole scan
+    B = config.track_block_ms
     final, ys, ovf = _track_device(
         config, jnp.asarray(signal), jax.tree.map(jnp.asarray, tables),
         jnp.asarray(channels.acquired_freq, jnp.float64), jnp.asarray(active),
-        n_ms, state, start_ms)
+        n_ms, state, start_ms % B if B > 1 else 0)
     ys = jax.device_get(ys)
     _check_overflow(ovf)
 

@@ -92,6 +92,38 @@ def test_parity_vs_float64_oracle(cfg, setup):
         assert np.max(np.abs(res.code_freq[c] - ora["code_freq"])) < 0.05
 
 
+def test_frame_offset_beyond_table_coverage_is_flagged(cfg, setup):
+    """A frame whose ms starts more than 2*track_frame_pre samples in is
+    outside the one-hot tables' sub-chip shift coverage: the correlators
+    would silently drop in-window samples, so the overflow channel must
+    flag it (it used to fire only when the span left the window)."""
+    import jax.numpy as jnp
+
+    from softgnss_tpu.track.scan import (_frame_ms_packed, _packed_view,
+                                         initial_state)
+    from softgnss_tpu.track.tables import build_tables
+
+    _, signal, channels = setup
+    tables = build_tables(cfg, np.asarray(channels.prn),
+                          np.asarray(channels.acquired_freq))
+    st = initial_state(cfg, channels)
+    pk = cfg.track_pack
+    sig_pack = _packed_view(jnp.asarray(signal), pk)
+    tab0 = __import__("jax").tree.map(lambda x: jnp.asarray(x)[0], tables)
+    st0 = __import__("jax").tree.map(lambda x: x[0], st)
+
+    def ovf_at(o):
+        base = (int(st0.ptr) - o) // pk * pk
+        frame = sig_pack[base // pk: base // pk + cfg.track_window // pk]
+        _, _, ovf = _frame_ms_packed(cfg, frame, jnp.int64(base), tab0,
+                                     jnp.float64(channels.acquired_freq[0]),
+                                     jnp.bool_(True), st0)
+        return int(ovf)
+
+    assert ovf_at(2 * cfg.track_frame_pre - 2) == 0       # covered offset
+    assert ovf_at(2 * cfg.track_frame_pre + 20) > 0       # beyond coverage
+
+
 def test_pdi_parity_vs_oracle(cfg, setup):
     """Coherent integration (pdi_ms=4, beyond the reference's fixed 1 ms):
     the every-4-periods filter cadence matches the float64 oracle running
