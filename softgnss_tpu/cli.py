@@ -124,6 +124,8 @@ def main(argv=None) -> int:
             print(f"Probe plot saved to {path}")
         return 0
 
+    if args.stream and args.mesh:
+        parser.error("--stream is single-device (exclusive with --mesh)")
     mesh = None
     if args.mesh:
         from softgnss_tpu.parallel import make_mesh

@@ -117,6 +117,48 @@ def plot_tracking(config: ReceiverConfig, tracking, channel: int,
     return path
 
 
+def plot_lock(config: ReceiverConfig, tracking, out_dir: str = ".") -> str:
+    """All-channel lock-quality dashboard (beyond the reference, which
+    plots only per-channel loop observables): windowed Van Dierendonck
+    C/N0, NBD/NBP phase-lock indicator, and code-rate offset per channel,
+    with the demotion thresholds and any lock-loss marks overlaid
+    (profiling.lock_metrics / channel_lock_loss)."""
+    from softgnss_tpu.profiling import lock_metrics
+
+    plt = _mpl()
+    window = min(int(config.lock_window_ms), max(100, tracking.n_ms // 4))
+    hop = max(window // 2, 20)
+    m = lock_metrics(config, tracking, window_ms=window, hop_ms=hop)
+    t = (np.arange(m["cn0_dbhz"].shape[1]) * hop + window / 2) / 1000.0
+    live = [c for c in range(len(tracking.prn)) if tracking.status[c] != "-"]
+
+    fig, axes = plt.subplots(3, 1, figsize=(10, 9), sharex=True)
+    fig.suptitle("Lock quality (windowed)")
+    cn0_floor = (config.lock_cn0_threshold_dbhz
+                 - 10.0 * np.log10(config.pdi_ms))
+    for c in live:
+        label = f"ch {c} (PRN {tracking.prn[c]})"
+        axes[0].plot(t, m["cn0_dbhz"][c], lw=1, label=label)
+        axes[1].plot(t, m["pll_lock"][c], lw=1, label=label)
+        axes[2].plot(t, m["code_rate_offset_hz"][c], lw=1, label=label)
+        if tracking.lock_loss_ms is not None and np.isfinite(tracking.lock_loss_ms[c]):
+            for ax in axes:
+                ax.axvline(tracking.lock_loss_ms[c] / 1000.0, color="r",
+                           ls=":", lw=1)
+    axes[0].axhline(cn0_floor, color="k", ls="--", lw=0.8)
+    axes[0].set(title="C/N0 (Van Dierendonck)", ylabel="dB-Hz")
+    axes[1].axhline(config.lock_pll_threshold, color="k", ls="--", lw=0.8)
+    axes[1].set(title="Phase lock (NBD/NBP)", ylabel="indicator")
+    axes[2].set(title="Code-rate offset from nominal", xlabel="Time (s)",
+                ylabel="Hz")
+    axes[0].legend(fontsize=8, ncol=2)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "lock_quality.png")
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
 def plot_navigation(config: ReceiverConfig, solutions, out_dir: str = ".") -> str:
     """ENU variations + 3D scatter + polar sky plot with mean PDOP
     (reference: postNavigation.py:307-439)."""
@@ -184,6 +226,10 @@ def plot_all(config: ReceiverConfig, results, out_dir: str = ".") -> list[str]:
         for c in range(len(results.tracking.prn)):
             if results.tracking.status[c] != "-":
                 paths.append(plot_tracking(config, results.tracking, c, out_dir))
+    if (results.tracking is not None
+            and any(s != "-" for s in results.tracking.status)
+            and results.tracking.n_ms >= 120):   # plot_lock's window + 20
+        paths.append(plot_lock(config, results.tracking, out_dir))
     if results.solutions is not None:
         paths.append(plot_navigation(config, results.solutions, out_dir))
     return paths

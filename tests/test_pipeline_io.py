@@ -171,12 +171,14 @@ class TestPlots:
         res = run_receiver(cfg, signal=sig, n_ms=200, navigate=False, probe=True)
         paths = [plots.plot_probe(cfg, res.probe, str(tmp_path)),
                  plots.plot_acquisition(cfg, res.acquisition, str(tmp_path)),
-                 plots.plot_tracking(cfg, res.tracking, 0, str(tmp_path))]
+                 plots.plot_tracking(cfg, res.tracking, 0, str(tmp_path)),
+                 plots.plot_lock(cfg, res.tracking, str(tmp_path))]
         for p in paths:
             assert os.path.getsize(p) > 10000
         all_paths = plots.plot_all(cfg.with_options(plot_tracking=True), res,
                                    out_dir=str(tmp_path))
-        assert len(all_paths) == 2 + sum(1 for s in res.tracking.status if s != "-")
+        # probe + acquisition + per-live-channel tracking + lock dashboard
+        assert len(all_paths) == 3 + sum(1 for s in res.tracking.status if s != "-")
 
 
 class TestCLI:
@@ -220,6 +222,10 @@ class TestCLI:
         assert rc == 0
         out = capsys.readouterr().out
         assert "Tracked 300 ms" in out
+
+    def test_cli_stream_mesh_conflict(self):
+        with pytest.raises(SystemExit):
+            main(["--fast", "--synthetic", "--stream", "--mesh", "1x1", "--cpu"])
 
     def test_cli_requires_input(self):
         with pytest.raises(SystemExit):
