@@ -114,8 +114,7 @@ def make_fn(mode):
         kernel = kern
     else:
         kernel = functools.partial(_kernel, pack=pack, tile=tile,
-                                   k_tiles=k_tiles, t_groups=t_groups,
-                                   w=w, contraction=mode)
+                                   k_tiles=k_tiles, w=w, contraction=mode)
     call = pl.pallas_call(
         kernel,
         grid=(t_groups, pack),

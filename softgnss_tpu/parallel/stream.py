@@ -92,10 +92,16 @@ def track_streamed(config: ReceiverConfig, signal: np.ndarray,
     ``np.memmap`` — each chunk is materialized host-side only when its
     upload is issued.
     """
+    from softgnss_tpu.track.scan import track
+
     n_ms = int(config.ms_to_process if n_ms is None else n_ms)
     B = max(1, config.track_block_ms)
     if chunk_ms is None:
         chunk_ms = config.track_stream_chunk_ms
+    if n_ms <= 0 or chunk_ms <= 0 or chunk_ms >= n_ms:
+        # nothing to pipeline (0 = monolithic per the config docstring;
+        # a single chunk would only add the window-margin re-slicing)
+        return track(config, signal, channels, n_ms=n_ms, state=state)
     chunk_ms = max(B, int(chunk_ms) // B * B)        # chunk starts on the block grid
     spc = config.samples_per_code
     sig_len = signal.shape[0]
@@ -202,17 +208,13 @@ def track_streamed(config: ReceiverConfig, signal: np.ndarray,
     while inflight:
         drain_one()
 
+    from softgnss_tpu.parallel.track import _results_from_ys
+
     ys = jax.tree.map(lambda *xs: np.concatenate(xs), *fetched)
     final_state = jax.tree.map(np.asarray, jax.device_get(st))
     final_state = final_state._replace(
         ptr=final_state.ptr + prev_base,
         block_base=final_state.block_base + prev_base)
-
-    return TrackResults(
-        final_state=final_state,
-        prn=np.asarray(channels.prn),
-        status=list(channels.status),
-        **{name: np.asarray(getattr(ys, name)).T for name in (
-            "absolute_sample", "sample_frac", "code_freq", "carr_freq",
-            "i_p", "i_e", "i_l", "q_e", "q_p", "q_l", "dll_discr",
-            "dll_discr_filt", "pll_discr", "pll_discr_filt")})
+    res = _results_from_ys(channels, ys, len(channels))
+    res.final_state = final_state
+    return res

@@ -91,7 +91,7 @@ def grid_shape(config: ReceiverConfig) -> tuple[int, int]:
 
 
 def _kernel(scal_ref, frame_ref, digs_ref, hb_ref, codes_ref,
-            out_ref, *, pack: int, tile: int, k_tiles: int, t_groups: int,
+            out_ref, *, pack: int, tile: int, k_tiles: int,
             w: int, contraction: str):
     """One grid step: byte plane ``b`` of ``k_tiles`` packed tiles, all
     channels.  Baseband (unpack + mask + carrier NCO + mix) and code phase
@@ -201,8 +201,7 @@ def fused_correlate_ms(config: ReceiverConfig, frame_pk, scal, digs, hb_span,
     # in-kernel int32 digit-accumulation overflow bounds (module docstring)
     assert span <= 1 << 15, "track window too large for 16-bit phase digits"
 
-    kernel = functools.partial(_kernel, pack=pack, tile=tile,
-                               k_tiles=k_tiles, t_groups=t_groups,
+    kernel = functools.partial(_kernel, pack=pack, tile=tile, k_tiles=k_tiles,
                                w=w, contraction=config.pallas_contraction)
     out = pl.pallas_call(
         kernel,

@@ -277,9 +277,12 @@ def _frame_overflow(config: ReceiverConfig, active, o, blk):
     sub-chip shift margin, tables._frame_shift_subchips) — beyond it,
     in-window samples' h_local falls outside the table window and would
     silently match no one-hot row, corrupting the correlators with no
-    other symptom."""
-    bad = jnp.maximum(jnp.maximum(-o, o + blk - config.track_window),
-                      o - 2 * config.track_frame_pre)
+    other symptom.  The coverage bound does not apply to the 'gather'
+    correlator (exact per-sample clipped lookups, valid at any in-window
+    offset)."""
+    bad = jnp.maximum(-o, o + blk - config.track_window)
+    if config.resolved_correlator != "gather":
+        bad = jnp.maximum(bad, o - 2 * config.track_frame_pre)
     return jnp.where(active, jnp.maximum(bad, 0), jnp.int64(0))
 
 
@@ -542,7 +545,6 @@ def _frame_ms_pallas(config: ReceiverConfig, frame_pk, base_ptr, codes_t,
                                                   phase_digits)
 
     fs = config.sampling_freq
-    blk_win = config.track_window
     code_len_q = config.code_length * CODE_ONE
     s_chips = config.code_freq_basis / config.sampling_freq
     assert (subdivision(config) * s_chips * (2 * config.track_frame_pre + 64)
@@ -668,7 +670,8 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
     n_full = (n_ms - lead) // B if B > 1 else 0
     r_tail = n_ms - lead - n_full * B if B > 1 else 0
     longest = max(lead, B if n_full else 0, r_tail)
-    use_blocks = B > 1 and spc < win <= 2 * spc and sig_len >= (longest + 1) * spc
+    use_blocks = (B > 1 and n_ms > 0 and spc < win <= 2 * spc
+                  and sig_len >= (longest + 1) * spc)
     if not use_blocks:
         (final, ovf), ys = jax.lax.scan(ms_step, (state0, zero), None, length=n_ms)
         return final, ys, ovf
