@@ -83,6 +83,13 @@ def main(argv=None) -> int:
     parser.add_argument("--stream", action="store_true",
                         help="software-pipeline tracking over time chunks "
                              "(overlap capture upload / compute / readback)")
+    parser.add_argument("--ephemerides", metavar="NPZ",
+                        help="warm start: per-PRN ephemeris set from a "
+                             "previous run (--save-ephemerides); navigation "
+                             "then needs ~8 s of capture instead of 36 s")
+    parser.add_argument("--save-ephemerides", metavar="NPZ",
+                        help="write the decoded per-PRN ephemeris set after "
+                             "a successful navigation run")
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
@@ -140,11 +147,22 @@ def main(argv=None) -> int:
                          "--xla_force_host_platform_device_count=N adds virtual "
                          "CPU devices)")
 
+    ephemerides = None
+    if args.ephemerides:
+        from softgnss_tpu.nav.message import load_ephemerides
+        ephemerides = load_ephemerides(args.ephemerides)
+
     results = run_receiver(config, signal=signal, file_name=args.file or None,
                            probe=args.probe, navigate=not args.no_nav,
                            checkpoint=args.checkpoint, mesh=mesh,
-                           shard=args.shard, stream=args.stream)
+                           shard=args.shard, stream=args.stream,
+                           ephemerides=ephemerides)
     print(results.summary())
+
+    if args.save_ephemerides and any(e is not None for e in results.ephemerides):
+        from softgnss_tpu.nav.message import save_ephemerides
+        save_ephemerides(args.save_ephemerides, results.ephemerides)
+        print(f"Ephemerides saved to {args.save_ephemerides}")
 
     if args.synthetic and results.has_fix:
         sol = results.solutions

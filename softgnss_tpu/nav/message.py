@@ -273,3 +273,60 @@ def decode_ephemeris(bits, d30star) -> tuple[Ephemeris, float]:
     # of the sixth subframe (reference: ephemeris.py:190)
     tow = tow_field * _SECONDS_PER_SUBFRAME - 30
     return eph, float(tow)
+
+
+def decode_tow(bits, d30star) -> float:
+    """TOW (s) at the START of a subframe from its first 60 bits (TLM+HOW).
+
+    Same polarity correction and HOW Z-count slice as
+    :func:`decode_ephemeris`, but needing only one subframe's first two
+    words — the warm-start path (externally supplied ephemerides) can
+    timestamp measurements 1.2 s after a confirmed preamble instead of
+    waiting for the full 30 s frame.  ``bits``: >= 60 values (0/1 or
+    +/-1), first element the first TLM bit; ``d30star``: the preceding
+    bit.  The HOW holds the Z-count of the NEXT subframe, so this
+    subframe starts at (z - 1) * 6 s.
+    """
+    bits = np.asarray(bits)[:60]
+    if np.any(bits < 0) or np.any(bits > 1):
+        bits = (bits > 0).astype(np.int8)
+    else:
+        bits = bits.astype(np.int8)
+    words = bits.reshape(2, 30).copy()
+    d30 = np.asarray([1 if d30star > 0 else 0, words[0, 29]], np.int8)
+    words[:, :24] ^= d30[:, None]
+    z = _bits_to_uint(words[1, :17])
+    return float(z * _SECONDS_PER_SUBFRAME - _SECONDS_PER_SUBFRAME)
+
+
+def save_ephemerides(path: str, ephs: list[Ephemeris | None]) -> None:
+    """Persist a 32-entry per-PRN ephemeris list to .npz (the warm-start
+    input; pair with ``run_receiver(ephemerides=load_ephemerides(path))``).
+    Missing satellites/fields are NaN."""
+    import dataclasses
+
+    names = [f.name for f in dataclasses.fields(Ephemeris)]
+    arrays = {}
+    for name in names:
+        col = np.full(32, np.nan)
+        for i, e in enumerate(ephs[:32]):
+            if e is not None and getattr(e, name) is not None:
+                col[i] = getattr(e, name)
+        arrays[name] = col
+    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+
+
+def load_ephemerides(path: str) -> list[Ephemeris | None]:
+    """Inverse of :func:`save_ephemerides`."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    out: list[Ephemeris | None] = []
+    for i in range(32):
+        eph = Ephemeris()
+        any_field = False
+        for name in data.files:
+            v = data[name][i]
+            if np.isfinite(v):
+                any_field = True
+                setattr(eph, name, int(v) if name in _INT_FIELDS else float(v))
+        out.append(eph if any_field else None)
+    return out

@@ -38,7 +38,7 @@ import numpy as np
 
 from softgnss_tpu.config import ReceiverConfig
 from softgnss_tpu.nav.geodesy import cart2geo, cart2utm, find_utm_zone
-from softgnss_tpu.nav.message import Ephemeris, decode_ephemeris
+from softgnss_tpu.nav.message import Ephemeris, decode_ephemeris, decode_tow
 from softgnss_tpu.nav.orbit import _satpos_one, pack_ephemerides
 from softgnss_tpu.nav.hostctx import host_context
 from softgnss_tpu.nav.preamble import find_preambles
@@ -52,6 +52,10 @@ _FRAME_BITS = 1500
 #: minimum capture for a solution: 5 subframes + sync margin
 #: (reference guard: postNavigation.py:104)
 MIN_NAV_MS = 36000
+#: minimum capture for a WARM-START solution (externally supplied
+#: ephemerides): preamble confirmation needs two 6000-ms-spaced hits plus
+#: the 60-bit TLM+HOW read for the TOW, then >= 1 measurement epoch
+MIN_WARM_NAV_MS = 8000
 
 
 @dataclass
@@ -188,29 +192,54 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
     return outs
 
 
-def post_navigate(config: ReceiverConfig, track) -> tuple[NavSolutions | None, list[Ephemeris | None]]:
+def post_navigate(config: ReceiverConfig, track, ephemerides=None,
+                  ) -> tuple[NavSolutions | None, list[Ephemeris | None]]:
     """Full navigation stage on tracking output.
 
     ``track``: a TrackResults (softgnss_tpu.track.scan) or any object with
     ``i_p (C, n_ms)``, ``absolute_sample (C, n_ms)``, ``status``, ``prn``.
+
+    ``ephemerides``: optional per-PRN list of 32 (warm start, beyond the
+    reference — e.g. a previous run's decoded set via
+    ``message.save_ephemerides``/``load_ephemerides``).  Channels whose
+    PRN has a complete entry skip the 30 s in-signal frame decode and
+    read only the 1.2 s TLM+HOW for the TOW, so fixes need
+    ``MIN_WARM_NAV_MS`` (8 s) of capture instead of ``MIN_NAV_MS`` (36 s);
+    channels without an entry fall back to the full decode.
+
     Returns (solutions | None, per-PRN ephemeris list of length 32).
     """
     eph_by_prn: list[Ephemeris | None] = [None] * 32
     i_p = np.asarray(track.i_p)
     n_ms = i_p.shape[1]
     n_tracked = sum(1 for s in track.status if s != "-")
-    if n_ms < MIN_NAV_MS or n_tracked < 4:
+    min_ms = MIN_NAV_MS if ephemerides is None else MIN_WARM_NAV_MS
+    if n_ms < min_ms or n_tracked < 4:
         logger.warning("Record too short or too few satellites tracked "
                        "(%d ms, %d channels).", n_ms, n_tracked)
         return None, eph_by_prn
 
     first_subframe, active = find_preambles(i_p, track.status)
 
-    # --- decode ephemerides (reference postNavigation.py:115-146) ----------
+    # --- ephemerides: in-signal decode (reference postNavigation.py:115-146)
+    # --- or warm-start TOW-only read against the supplied set --------------
     ephs: dict[int, Ephemeris] = {}
     tows: dict[int, float] = {}
     for ch in list(active):
         start = int(first_subframe[ch])
+        prn = int(track.prn[ch])
+        provided = (ephemerides[prn - 1]
+                    if ephemerides is not None and prn >= 1 else None)
+        if provided is not None and provided.complete:
+            if start - _MS_PER_BIT < 0 or start + 60 * _MS_PER_BIT > n_ms:
+                active = np.setdiff1d(active, ch)
+                continue
+            window = i_p[ch, start - _MS_PER_BIT: start + 60 * _MS_PER_BIT]
+            bits = np.where(window.reshape(-1, _MS_PER_BIT).sum(axis=1) > 0, 1, -1)
+            ephs[ch] = provided
+            tows[ch] = decode_tow(bits[1:], bits[0])
+            eph_by_prn[prn - 1] = provided
+            continue
         if start - _MS_PER_BIT < 0 or start + _FRAME_BITS * _MS_PER_BIT > n_ms:
             active = np.setdiff1d(active, ch)
             continue

@@ -178,7 +178,8 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
                  checkpoint: str | None = None,
                  channels: Channels | None = None,
                  mesh=None, shard: str = "channel",
-                 stream: bool = False) -> ReceiverResults:
+                 stream: bool = False,
+                 ephemerides: list | None = None) -> ReceiverResults:
     """Run the full receiver chain.
 
     ``signal``: in-memory int8 capture (absolute sample indexing including
@@ -200,6 +201,11 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
     compute, and output readback overlap — softgnss_tpu.parallel.stream);
     integer observables identical to the monolithic run.  Single-device
     only (exclusive with ``mesh``).
+
+    ``ephemerides``: per-PRN list of 32 for a warm start (e.g. a previous
+    run's ``results.ephemerides``, or ``message.load_ephemerides(path)``):
+    navigation then needs only ~8 s of capture instead of the 36 s frame
+    decode (see nav.solve.post_navigate).
     """
     import os
 
@@ -235,7 +241,8 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
         results.timings_s["track"] = time.monotonic() - t0
         if navigate:
             t0 = time.monotonic()
-            results.solutions, results.ephemerides = post_navigate(config, results.tracking)
+            results.solutions, results.ephemerides = post_navigate(
+                config, results.tracking, ephemerides=ephemerides)
             results.timings_s["navigate"] = time.monotonic() - t0
         return results
 
@@ -294,6 +301,7 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
     # --- navigation ---------------------------------------------------------
     if navigate:
         t0 = time.monotonic()
-        results.solutions, results.ephemerides = post_navigate(config, results.tracking)
+        results.solutions, results.ephemerides = post_navigate(
+                config, results.tracking, ephemerides=ephemerides)
         results.timings_s["navigate"] = time.monotonic() - t0
     return results
