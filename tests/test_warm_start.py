@@ -53,6 +53,33 @@ def test_save_load_roundtrip(tmp_path):
     assert isinstance(back[6].iodc, int)
 
 
+def test_cli_ephemerides_roundtrip(tmp_path, capsys):
+    """--save-ephemerides writes a set that --ephemerides loads back."""
+    from softgnss_tpu.cli import main
+    from softgnss_tpu.scenario import keplerian_ephemeris
+
+    ephs = [None] * 32
+    ephs[4] = keplerian_ephemeris()
+    path = str(tmp_path / "eph.npz")
+    save_ephemerides(path, ephs)
+    back = load_ephemerides(path)
+    assert back[4].complete
+    # CLI parses the flag and loads the file (short capture: nav declines,
+    # which proves the warm path was reached without error)
+    import softgnss_tpu.io as sio
+    cfg = sg.fast_config(number_of_channels=2)
+    from softgnss_tpu.signals.synth import SatelliteSignal, synthesize_signal
+    sig = synthesize_signal(cfg, [SatelliteSignal(prn=5, doppler_hz=1000.0,
+                                                  delay_samples=100.0)],
+                            300, noise_std=1.5, seed=3)
+    cap = str(tmp_path / "cap.bin")
+    sio.write_if_samples(cap, sig)
+    rc = main(["--fast", "--file", cap, "--cpu", "--ms", "250",
+               "--ephemerides", path])
+    assert rc == 0
+    assert "Tracked 250 ms" in capsys.readouterr().out
+
+
 @pytest.mark.slow
 def test_warm_start_fix_from_short_capture():
     """12 s of capture + a prior ephemeris set -> position fix; the cold
