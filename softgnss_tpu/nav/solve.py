@@ -91,10 +91,25 @@ class NavSolutions:
     vy: np.ndarray | None = None
     vz: np.ndarray | None = None
     clock_drift: np.ndarray | None = None   # (E,) m/s
+    #: capture ms of epoch 0 (subframe sync + sol period); epoch k is at
+    #: first_epoch_ms + k * nav_sol_period_ms
+    first_epoch_ms: int = 0
 
     @property
     def n_epochs(self) -> int:
         return self.x.shape[0]
+
+    @property
+    def ttff_ms(self) -> float:
+        """Time to first fix: capture ms of the first finite solution
+        (inf if none).  Beyond the reference, which reports no timing."""
+        ok = np.flatnonzero(np.isfinite(self.x))
+        if ok.size == 0:
+            return float("inf")
+        return float(self.first_epoch_ms + ok[0] * self._period_ms)
+
+    #: filled at construction so ttff_ms needs no config
+    _period_ms: int = 500
 
 
 def calculate_pseudoranges(config: ReceiverConfig, absolute_sample: np.ndarray,
@@ -394,5 +409,6 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
         raw_p=raw_p.T, corrected_p=corrected.T,
         utm_zone=utm_zone, first_subframe=first_subframe, tow=float(tow_common),
         vx=vel4[:, 0], vy=vel4[:, 1], vz=vel4[:, 2], clock_drift=vel4[:, 3],
+        first_epoch_ms=int(max_start), _period_ms=int(period),
     )
     return solutions, eph_by_prn

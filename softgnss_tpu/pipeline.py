@@ -82,7 +82,8 @@ class ReceiverResults:
                     f"lat {np.nanmean(self.solutions.latitude):.6f} deg, "
                     f"lon {np.nanmean(self.solutions.longitude):.6f} deg, "
                     f"hgt {np.nanmean(self.solutions.height):.1f} m, "
-                    f"mean PDOP {np.nanmean(self.solutions.dop[1]):.2f}")
+                    f"mean PDOP {np.nanmean(self.solutions.dop[1]):.2f}, "
+                    f"TTFF {self.solutions.ttff_ms / 1000.0:.1f} s")
                 if self.solutions.vx is not None:
                     v = np.sqrt(self.solutions.vx**2 + self.solutions.vy**2
                                 + self.solutions.vz**2)
