@@ -21,7 +21,10 @@ from softgnss_tpu.nav.message import (  # noqa: F401
     PREAMBLE_BITS,
     build_nav_stream,
     decode_ephemeris,
+    decode_tow,
     encode_subframe_source,
+    load_ephemerides,
+    save_ephemerides,
 )
 from softgnss_tpu.nav.preamble import find_preambles  # noqa: F401
 from softgnss_tpu.nav.orbit import satellite_positions, check_t  # noqa: F401
