@@ -132,11 +132,14 @@ def _fine_chip_indices(config: ReceiverConfig) -> np.ndarray:
     return np.mod(chip_idx, 1023).astype(np.int32)
 
 
-def _prn_block(config: ReceiverConfig, xs, sig0dc, code_fd, gold):
+def _prn_block(config: ReceiverConfig, xs, sig0dc, code_fd, gold,
+               bin_mask=None):
     """Full acquisition math for a block of PRNs.
 
     ``xs``: (K, B, M) Doppler-mixed per-ms signal FFTs; ``code_fd``:
-    (p, N) conjugated code FFTs; ``gold``: (p, 1023) chips.  Returns
+    (p, N) conjugated code FFTs; ``gold``: (p, 1023) chips;
+    ``bin_mask``: optional (p, B) bool — Doppler bins eligible for the
+    peak search (warm-start hints; None = all).  Returns
     (fine_or_zero_carr_freq, code_phase, metric), each (p,).
     PRN-independent inputs (xs, sig0dc) are shared — this same block
     function serves the single-chip chunked path and the mesh-sharded path
@@ -173,6 +176,10 @@ def _prn_block(config: ReceiverConfig, xs, sig0dc, code_fd, gold):
             results = results + corr_sq(xs[k])
 
     # --- peak / second-peak metric (reference: acquisition.py:139-164) ------
+    if bin_mask is not None:
+        # hinted search: only bins inside each PRN's predicted-Doppler
+        # window compete for the peak (and for the second-peak row)
+        results = jnp.where(bin_mask[:, :, None], results, 0.0)
     flat = results.reshape(p, -1)
     peak_idx = jnp.argmax(flat, axis=1)
     bin_idx = peak_idx // spc
@@ -236,7 +243,8 @@ def _prn_block(config: ReceiverConfig, xs, sig0dc, code_fd, gold):
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _acquire_device(config: ReceiverConfig, long_signal: jnp.ndarray):
+def _acquire_device(config: ReceiverConfig, long_signal: jnp.ndarray,
+                    bin_mask=None):
     prn_list = np.asarray(config.acq_satellite_list, np.int64)
     xs, sig0dc = _baseband_ffts(config, long_signal)
 
@@ -252,19 +260,52 @@ def _acquire_device(config: ReceiverConfig, long_signal: jnp.ndarray):
     code_fd = jnp.pad(code_fd, ((0, pad), (0, 0))).reshape(-1, chunk, fft_n)
     gold = jnp.pad(gold, ((0, pad), (0, 0))).reshape(-1, chunk, 1023)
 
-    outs = jax.lax.map(
-        lambda args: _prn_block(config, xs, sig0dc, args[0], args[1]),
-        (code_fd, gold))
+    if bin_mask is None:
+        outs = jax.lax.map(
+            lambda args: _prn_block(config, xs, sig0dc, args[0], args[1]),
+            (code_fd, gold))
+    else:
+        n_bins = bin_mask.shape[1]
+        mask_c = jnp.pad(bin_mask, ((0, pad), (0, 0)),
+                         constant_values=True).reshape(-1, chunk, n_bins)
+        outs = jax.lax.map(
+            lambda args: _prn_block(config, xs, sig0dc, args[0], args[1],
+                                    args[2]),
+            (code_fd, gold, mask_c))
     carr_freq, code_phase, metric = (o.reshape(-1)[:n_prn] for o in outs)
     return carr_freq, code_phase, metric
 
 
-def acquire(config: ReceiverConfig, long_signal: np.ndarray) -> AcquisitionResults:
-    """Run acquisition on >= acquisition_ms milliseconds of raw IF samples."""
+def acquire(config: ReceiverConfig, long_signal: np.ndarray,
+            doppler_hints: np.ndarray | None = None,
+            hint_halfwidth_hz: float = 500.0) -> AcquisitionResults:
+    """Run acquisition on >= acquisition_ms milliseconds of raw IF samples.
+
+    ``doppler_hints``: optional (32,) per-PRN predicted absolute carrier
+    frequencies (IF + Doppler — nav.assist.predict_doppler from a prior
+    ephemeris set), NaN = no hint.  Hinted PRNs search only Doppler bins
+    within ``hint_halfwidth_hz`` of the prediction (warm start, beyond
+    the reference): wrong-bin noise cannot steal the peak, and a strong
+    cross-correlator outside the window cannot alias in.  Note the hint
+    must absorb any front-end oscillator offset — a common bias shifts
+    every PRN's measured Doppler equally.
+    """
     need = config.acquisition_ms * config.samples_per_code
     if long_signal.shape[0] < need:
         raise ValueError(f"acquisition needs {need} samples, got {long_signal.shape[0]}")
-    carr, phase, metric = _acquire_device(config, jnp.asarray(long_signal[:need]))
+    bin_mask = None
+    if doppler_hints is not None:
+        hints = np.asarray(doppler_hints, np.float64)
+        bins = np.asarray(config.doppler_bin_freqs)                  # (B,)
+        sel = hints[np.asarray(config.acq_satellite_list) - 1]       # (P,)
+        dist = np.abs(bins[None, :] - sel[:, None])
+        inside = dist <= hint_halfwidth_hz
+        # no hint, or a hint whose window misses the search band entirely
+        # -> fall back to the full band for that PRN
+        full = np.isnan(sel) | ~inside.any(axis=1)
+        bin_mask = jnp.asarray(np.where(full[:, None], True, inside))
+    carr, phase, metric = _acquire_device(config, jnp.asarray(long_signal[:need]),
+                                          bin_mask)
     out = tuple(np.asarray(jax.device_get(v)) for v in (carr, phase, metric))
 
     # scatter back into 32-wide arrays indexed by PRN

@@ -41,6 +41,7 @@ from softgnss_tpu.nav.geodesy import (  # noqa: F401
     topocent,
 )
 from softgnss_tpu.nav.atmosphere import tropo  # noqa: F401
+from softgnss_tpu.nav.assist import predict_doppler  # noqa: F401
 from softgnss_tpu.nav.solve import (  # noqa: F401
     NavSolutions,
     calculate_pseudoranges,

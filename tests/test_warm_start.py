@@ -80,6 +80,51 @@ def test_cli_ephemerides_roundtrip(tmp_path, capsys):
     assert "Tracked 250 ms" in capsys.readouterr().out
 
 
+class TestAssistedAcquisition:
+    def test_predict_doppler_matches_scenario_truth(self):
+        """Predicted Doppler from the broadcast orbit agrees with the
+        synthesizer's geometry-derived Doppler to a few Hz."""
+        from softgnss_tpu.nav.assist import predict_doppler
+
+        cfg = sg.fast_config(number_of_channels=5)
+        sc = build_scenario(cfg, n_sats=5)
+        synthesize_scenario(sc, 2)          # fills the truth delay/Doppler
+        ephs = [None] * 32
+        for prn, eph in zip(sc.prns, sc.ephemerides):
+            ephs[prn - 1] = eph
+        hints = predict_doppler(cfg, ephs, sc.receiver_ecef, sc.t_rx0)
+        for i, prn in enumerate(sc.prns):
+            truth = cfg.intermediate_freq + sc.dopplers[i]
+            assert abs(hints[prn - 1] - truth) < 10.0, (prn, hints[prn - 1], truth)
+        assert np.isnan(hints[[p - 1 for p in range(1, 33)
+                               if p not in sc.prns]]).all()
+
+    def test_hinted_acquisition_matches_and_masks(self):
+        """A truth-centered hint reproduces the unhinted result; a hint
+        pointing away from the true Doppler masks the satellite out."""
+        from softgnss_tpu.acquire.search import acquire
+        from softgnss_tpu.signals.synth import SatelliteSignal, synthesize_signal
+
+        cfg = sg.fast_config()
+        sat = SatelliteSignal(prn=17, doppler_hz=2600.0, delay_samples=1500.0,
+                              nav_bits=tuple(np.resize([1, -1, 1, 1], 32)))
+        sig = synthesize_signal(cfg, [sat], cfg.acquisition_ms + 1,
+                                noise_std=1.5, seed=8)
+        sig = sig[: cfg.acquisition_ms * cfg.samples_per_code]
+        cold = acquire(cfg, sig)
+        hints = np.full(32, np.nan)
+        hints[16] = cfg.intermediate_freq + 2600.0
+        warm = acquire(cfg, sig, doppler_hints=hints)
+        assert warm.acquired[16] and cold.acquired[16]
+        assert warm.code_phase[16] == cold.code_phase[16]
+        assert abs(warm.carr_freq[16] - cold.carr_freq[16]) < 1e-6
+        # hint 5 kHz off with a tight window: the true peak is excluded
+        hints[16] = cfg.intermediate_freq + 2600.0 - 5000.0
+        masked = acquire(cfg, sig, doppler_hints=hints, hint_halfwidth_hz=400.0)
+        assert not masked.acquired[16]
+        assert np.isfinite(masked.peak_metric[16])
+
+
 @pytest.mark.slow
 def test_warm_start_fix_from_short_capture():
     """12 s of capture + a prior ephemeris set -> position fix; the cold
