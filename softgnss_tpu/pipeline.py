@@ -180,7 +180,9 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
                  channels: Channels | None = None,
                  mesh=None, shard: str = "channel",
                  stream: bool = False,
-                 ephemerides: list | None = None) -> ReceiverResults:
+                 ephemerides: list | None = None,
+                 assist_position: np.ndarray | None = None,
+                 assist_tow: float | None = None) -> ReceiverResults:
     """Run the full receiver chain.
 
     ``signal``: in-memory int8 capture (absolute sample indexing including
@@ -206,7 +208,11 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
     ``ephemerides``: per-PRN list of 32 for a warm start (e.g. a previous
     run's ``results.ephemerides``, or ``message.load_ephemerides(path)``):
     navigation then needs only ~8 s of capture instead of the 36 s frame
-    decode (see nav.solve.post_navigate).
+    decode (see nav.solve.post_navigate).  With ``assist_position``
+    (approximate receiver ECEF) and ``assist_tow`` (approximate GPS time
+    of week at capture start) also given, acquisition is Doppler-hinted
+    from the ephemerides (nav.assist.predict_doppler) — the full
+    assisted/warm start.
     """
     import os
 
@@ -259,13 +265,25 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
         if len(signal) < skip + acq_need:
             raise ValueError(f"capture too short for acquisition: need "
                              f"{skip + acq_need} samples, got {len(signal)}")
+        hints = None
+        if (ephemerides is not None and assist_position is not None
+                and assist_tow is not None):
+            from softgnss_tpu.nav.assist import predict_doppler
+
+            hints = predict_doppler(config, ephemerides,
+                                    np.asarray(assist_position),
+                                    float(assist_tow))
         if mesh is not None:
             from softgnss_tpu.parallel import acquire_sharded
 
+            if hints is not None:
+                logger.warning("Doppler hints are not supported on the "
+                               "mesh-sharded acquisition path; ignoring.")
             results.acquisition = acquire_sharded(
                 config, signal[skip: skip + acq_need], mesh)
         else:
-            results.acquisition = acquire(config, signal[skip: skip + acq_need])
+            results.acquisition = acquire(config, signal[skip: skip + acq_need],
+                                          doppler_hints=hints)
         results.timings_s["acquire"] = time.monotonic() - t0
 
         if not results.acquisition.acquired.any():

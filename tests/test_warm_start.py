@@ -139,7 +139,12 @@ def test_warm_start_fix_from_short_capture():
     ephs = [None] * 32
     for prn, eph in zip(sc.prns, sc.ephemerides):
         ephs[prn - 1] = eph
-    warm = run_receiver(cfg, signal=sig, ephemerides=ephs)
+    # full assisted start: ephemerides + approximate position/time also
+    # Doppler-hint the acquisition (position off by ~3 km, time by ~0.2 s
+    # — the realistic warm-start knowledge level)
+    warm = run_receiver(cfg, signal=sig, ephemerides=ephs,
+                        assist_position=np.asarray(sc.receiver_ecef) + 2000.0,
+                        assist_tow=sc.t_rx0 + 0.2)
     assert warm.has_fix
     sol = warm.solutions
     err = np.linalg.norm(np.stack([sol.x, sol.y, sol.z], 1)
