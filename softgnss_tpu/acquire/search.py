@@ -301,9 +301,11 @@ def acquire(config: ReceiverConfig, long_signal: np.ndarray,
         dist = np.abs(bins[None, :] - sel[:, None])
         inside = dist <= hint_halfwidth_hz
         # no hint, or a hint whose window misses the search band entirely
-        # -> fall back to the full band for that PRN
+        # -> fall back to the full band for that PRN; an all-full mask is
+        # dropped so the unhinted (already-compiled) device variant runs
         full = np.isnan(sel) | ~inside.any(axis=1)
-        bin_mask = jnp.asarray(np.where(full[:, None], True, inside))
+        if not full.all():
+            bin_mask = jnp.asarray(np.where(full[:, None], True, inside))
     carr, phase, metric = _acquire_device(config, jnp.asarray(long_signal[:need]),
                                           bin_mask)
     out = tuple(np.asarray(jax.device_get(v)) for v in (carr, phase, metric))

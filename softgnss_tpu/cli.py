@@ -86,7 +86,8 @@ def main(argv=None) -> int:
     parser.add_argument("--ephemerides", metavar="NPZ",
                         help="warm start: per-PRN ephemeris set from a "
                              "previous run (--save-ephemerides); navigation "
-                             "then needs ~8 s of capture instead of 36 s")
+                             "then needs ~8-15 s of capture (preamble-phase "
+                             "dependent) instead of 36 s")
     parser.add_argument("--save-ephemerides", metavar="NPZ",
                         help="write the decoded per-PRN ephemeris set after "
                              "a successful navigation run")

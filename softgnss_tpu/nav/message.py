@@ -225,6 +225,26 @@ def build_nav_stream(eph: Ephemeris, first_tow_count: int, n_subframes: int,
     return (2 * tx01.astype(np.int8) - 1)
 
 
+def _corrected_words(bits, d30star, n_words: int) -> np.ndarray:
+    """(n_words, 30) 0/1 data words after per-word polarity correction
+    (reference checkPhase, ephemeris.py:30-56): accepts +/-1 or 0/1 input,
+    un-XORs each word's 24 data bits where the previous word's D30 is 1."""
+    bits = np.asarray(bits)
+    if bits.shape[0] < n_words * 30:
+        raise ValueError(f"need {n_words * 30} bits, got {bits.shape[0]}")
+    bits = bits[:n_words * 30]
+    if np.any(bits < 0) or np.any(bits > 1):
+        bits = (bits > 0).astype(np.int8)   # +/-1 -> 0/1
+    else:
+        bits = bits.astype(np.int8)
+    words = bits.reshape(n_words, 30).copy()
+    d30 = np.empty(n_words, np.int8)
+    d30[0] = 1 if d30star > 0 else 0
+    d30[1:] = words[:-1, 29]
+    words[:, :24] ^= d30[:, None]          # un-XOR data bits where D30* == 1
+    return words
+
+
 def decode_ephemeris(bits, d30star) -> tuple[Ephemeris, float]:
     """Decode 5 subframes (1500 bits) into an Ephemeris + TOW.
 
@@ -234,23 +254,7 @@ def decode_ephemeris(bits, d30star) -> tuple[Ephemeris, float]:
     slice corrections in the module docstring); implementation is
     vectorized array ops instead of per-character string editing.
     """
-    bits = np.asarray(bits)
-    if bits.shape[0] < 5 * _SUBFRAME_BITS:
-        raise ValueError("need 1500 bits (5 subframes)")
-    bits = bits[:5 * _SUBFRAME_BITS]
-    if np.any(bits < 0) or np.any(bits > 1):
-        bits = (bits > 0).astype(np.int8)   # +/-1 -> 0/1
-    else:
-        bits = bits.astype(np.int8)
-    d30star = 1 if d30star > 0 else 0
-
-    # --- per-word polarity correction (reference checkPhase, ephemeris.py:30-56)
-    words = bits.reshape(50, 30).copy()
-    d30 = np.empty(50, np.int8)
-    d30[0] = d30star
-    d30[1:] = words[:-1, 29]
-    words[:, :24] ^= d30[:, None]          # un-XOR data bits where D30* == 1
-    source = words.reshape(5, _SUBFRAME_BITS)
+    source = _corrected_words(bits, d30star, 50).reshape(5, _SUBFRAME_BITS)
 
     eph = Ephemeris()
     tow_field = None
@@ -287,14 +291,7 @@ def decode_tow(bits, d30star) -> float:
     bit.  The HOW holds the Z-count of the NEXT subframe, so this
     subframe starts at (z - 1) * 6 s.
     """
-    bits = np.asarray(bits)[:60]
-    if np.any(bits < 0) or np.any(bits > 1):
-        bits = (bits > 0).astype(np.int8)
-    else:
-        bits = bits.astype(np.int8)
-    words = bits.reshape(2, 30).copy()
-    d30 = np.asarray([1 if d30star > 0 else 0, words[0, 29]], np.int8)
-    words[:, :24] ^= d30[:, None]
+    words = _corrected_words(bits, d30star, 2)
     z = _bits_to_uint(words[1, :17])
     return float(z * _SECONDS_PER_SUBFRAME - _SECONDS_PER_SUBFRAME)
 

@@ -52,9 +52,15 @@ _FRAME_BITS = 1500
 #: minimum capture for a solution: 5 subframes + sync margin
 #: (reference guard: postNavigation.py:104)
 MIN_NAV_MS = 36000
-#: minimum capture for a WARM-START solution (externally supplied
-#: ephemerides): preamble confirmation needs two 6000-ms-spaced hits plus
-#: the 60-bit TLM+HOW read for the TOW, then >= 1 measurement epoch
+#: minimum capture on which a WARM-START solution (externally supplied
+#: ephemerides) is POSSIBLE: preamble confirmation needs two
+#: 6000-ms-spaced hits plus the 60-bit TLM+HOW read for the TOW, then
+#: >= 1 measurement epoch.  8 s suffices only when the first preamble
+#: lands in the capture's first ~1.8 s (phase uniform over the 6 s
+#: subframe => ~30% of starts); a fix is GUARANTEED (any preamble phase,
+#: after PLL settling) from ~15 s.  The gate is the feasibility floor,
+#: not the guarantee — below-guarantee captures are attempted and warn
+#: if confirmation fails.
 MIN_WARM_NAV_MS = 8000
 
 
@@ -218,9 +224,10 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
     reference — e.g. a previous run's decoded set via
     ``message.save_ephemerides``/``load_ephemerides``).  Channels whose
     PRN has a complete entry skip the 30 s in-signal frame decode and
-    read only the 1.2 s TLM+HOW for the TOW, so fixes need
-    ``MIN_WARM_NAV_MS`` (8 s) of capture instead of ``MIN_NAV_MS`` (36 s);
-    channels without an entry fall back to the full decode.
+    read only the 1.2 s TLM+HOW for the TOW, so fixes need as little as
+    ``MIN_WARM_NAV_MS`` (8 s, preamble-phase permitting; guaranteed from
+    ~15 s) of capture instead of ``MIN_NAV_MS`` (36 s); channels without
+    an entry fall back to the full decode.
 
     Returns (solutions | None, per-PRN ephemeris list of length 32).
     """
