@@ -115,6 +115,10 @@ class ReceiverConfig:
     elevation_mask_deg: float = 10.0
     #: apply tropospheric correction (reference: initialize.py:150)
     use_trop_corr: bool = True
+    #: apply the Klobuchar ionospheric correction when subframe 4 page 18
+    #: coefficients are decoded from the nav message (beyond the
+    #: reference, which ignores subframes 4-5 entirely — see nav.iono)
+    use_iono_corr: bool = True
     #: carrier-smoothing (Hatch filter) window in epochs; 0 = off (the
     #: reference has no smoothing).  Code pseudoranges are blended with
     #: integrated carrier-phase deltas, cutting code noise by ~sqrt(N)

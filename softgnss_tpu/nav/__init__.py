@@ -21,6 +21,7 @@ from softgnss_tpu.nav.message import (  # noqa: F401
     PREAMBLE_BITS,
     build_nav_stream,
     decode_ephemeris,
+    decode_iono,
     decode_tow,
     encode_subframe_source,
     load_ephemerides,

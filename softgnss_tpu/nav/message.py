@@ -162,7 +162,8 @@ def _int_to_bits(value: int, n: int) -> np.ndarray:
 
 
 def encode_subframe_source(subframe_id: int, tow_count_next: int,
-                           eph: Ephemeris) -> np.ndarray:
+                           eph: Ephemeris,
+                           iono: np.ndarray | None = None) -> np.ndarray:
     """Source (pre-parity) bits of one subframe, (300,) 0/1.
 
     Parity-region bits (positions w*30+24 .. w*30+29) are left 0 here; the
@@ -174,6 +175,8 @@ def encode_subframe_source(subframe_id: int, tow_count_next: int,
     bits[0:8] = PREAMBLE_BITS
     bits[30:47] = _uint_to_bits(tow_count_next % (1 << 17), 17)
     bits[49:52] = _uint_to_bits(subframe_id, 3)
+    if subframe_id == 4 and iono is not None:
+        encode_iono_page(bits, iono)
     if subframe_id in _LAYOUTS:
         for name, slices, scale, signed in _LAYOUTS[subframe_id]:
             value = getattr(eph, name)
@@ -205,7 +208,8 @@ def encode_subframe_source(subframe_id: int, tow_count_next: int,
 
 
 def build_nav_stream(eph: Ephemeris, first_tow_count: int, n_subframes: int,
-                     d29star: int = 0, d30star: int = 0) -> np.ndarray:
+                     d29star: int = 0, d30star: int = 0,
+                     iono: np.ndarray | None = None) -> np.ndarray:
     """Transmitted nav-bit stream of ``n_subframes`` consecutive subframes.
 
     Subframe IDs cycle 1..5 with the frame phase implied by
@@ -218,7 +222,8 @@ def build_nav_stream(eph: Ephemeris, first_tow_count: int, n_subframes: int,
     for k in range(n_subframes):
         z = first_tow_count + k
         sf_id = z % 5 + 1
-        src = encode_subframe_source(sf_id, (z + 1) % (1 << 17), eph)
+        src = encode_subframe_source(sf_id, (z + 1) % (1 << 17), eph,
+                                     iono=iono)
         words.append(src.reshape(_WORDS, 30)[:, :24])
     source_words = np.concatenate(words, axis=0)
     tx01 = encode_stream(source_words, d29star, d30star)
@@ -277,6 +282,48 @@ def decode_ephemeris(bits, d30star) -> tuple[Ephemeris, float]:
     # of the sixth subframe (reference: ephemeris.py:190)
     tow = tow_field * _SECONDS_PER_SUBFRAME - 30
     return eph, float(tow)
+
+
+#: subframe 4 page 18 (ionosphere/UTC page): (field index, bit start,
+#: scale) for the 8 Klobuchar coefficients, all 8-bit two's complement
+#: (IS-GPS-200 20.3.3.5.1, figure 20-1 sheet 8).  Word 3 data: data ID
+#: (2) + SV/page ID 56 (6) + alpha0 + alpha1; word 4: alpha2 alpha3
+#: beta0; word 5: beta1 beta2 beta3.
+_IONO_FIELDS = [
+    (0, 68, 2.0**-30), (1, 76, 2.0**-27),                  # alpha0, alpha1
+    (2, 90, 2.0**-24), (3, 98, 2.0**-24), (4, 106, 2.0**11),  # a2 a3 b0
+    (5, 120, 2.0**14), (6, 128, 2.0**16), (7, 136, 2.0**16),  # b1 b2 b3
+]
+_IONO_PAGE_ID = 56
+
+
+def encode_iono_page(bits: np.ndarray, iono: np.ndarray) -> None:
+    """Fill a subframe-4 source-bit array with the page-18 ionospheric
+    coefficients (inverse of :func:`decode_iono`)."""
+    bits[60:62] = _uint_to_bits(1, 2)                      # data ID
+    bits[62:68] = _uint_to_bits(_IONO_PAGE_ID, 6)
+    for k, start, scale in _IONO_FIELDS:
+        bits[start:start + 8] = _int_to_bits(int(round(float(iono[k]) / scale)), 8)
+
+
+def decode_iono(bits, d30star) -> np.ndarray | None:
+    """Klobuchar coefficients (8,) [alpha0..3, beta0..3] from a 5-subframe
+    window, or None if no subframe-4 page 18 is present.
+
+    Same window/polarity conventions as :func:`decode_ephemeris` (the
+    reference discards subframes 4-5 entirely, ephemeris.py:88-91)."""
+    source = _corrected_words(bits, d30star, 50).reshape(5, _SUBFRAME_BITS)
+    for sf in range(5):
+        subframe = source[sf]
+        if _bits_to_uint(subframe[49:52]) != 4:
+            continue
+        if _bits_to_uint(subframe[62:68]) != _IONO_PAGE_ID:
+            continue
+        out = np.empty(8)
+        for k, start, scale in _IONO_FIELDS:
+            out[k] = _bits_to_int(subframe[start:start + 8]) * scale
+        return out
+    return None
 
 
 def decode_tow(bits, d30star) -> float:

@@ -62,10 +62,15 @@ def inv4(a):
     return cof.T / det, det
 
 
-def solve_epoch(sat_pos, obs, mask, use_trop: bool):
+def solve_epoch(sat_pos, obs, mask, use_trop: bool, iono_tow=None):
     """One masked PVT solve, pure jnp (composable under jit/scan/vmap).
 
-    sat_pos: (S, 3) f64, obs: (S,) f64, mask: (S,) bool."""
+    sat_pos: (S, 3) f64, obs: (S,) f64, mask: (S,) bool.
+
+    ``iono_tow``: optional ((8,) Klobuchar coefficients, GPS tow) —
+    applies the broadcast ionospheric correction alongside the
+    troposphere (beyond the reference, which ignores subframe 4's
+    coefficients entirely; see nav.iono)."""
     s = sat_pos.shape[0]
     wgt = mask.astype(jnp.float64)
     pos0 = jnp.zeros(4, jnp.float64)
@@ -93,6 +98,14 @@ def solve_epoch(sat_pos, obs, mask, use_trop: bool):
                 trop = tropo(jnp.sin(jnp.deg2rad(el)))
             else:
                 trop = jnp.zeros(s)
+            if iono_tow is not None:
+                from softgnss_tpu.nav.geodesy import cart2geo
+                from softgnss_tpu.nav.iono import klobuchar
+
+                iono8, tow = iono_tow
+                lat, lon, _h = cart2geo(pos[0], pos[1], pos[2], 4)
+                trop = trop + SPEED_OF_LIGHT * klobuchar(
+                    iono8, lat, lon, az, el, tow)
             return rot_x, trop, el, az
 
         rot_x, trop, el, az = jax.lax.cond(i == 0, first_iter, later_iter, None)

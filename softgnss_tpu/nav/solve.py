@@ -38,7 +38,8 @@ import numpy as np
 
 from softgnss_tpu.config import ReceiverConfig
 from softgnss_tpu.nav.geodesy import cart2geo, cart2utm, find_utm_zone
-from softgnss_tpu.nav.message import Ephemeris, decode_ephemeris, decode_tow
+from softgnss_tpu.nav.message import (Ephemeris, decode_ephemeris,
+                                      decode_iono, decode_tow)
 from softgnss_tpu.nav.orbit import _satpos_one, pack_ephemerides
 from softgnss_tpu.nav.hostctx import host_context
 from softgnss_tpu.nav.preamble import find_preambles
@@ -136,13 +137,15 @@ def calculate_pseudoranges(config: ReceiverConfig, absolute_sample: np.ndarray,
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
-                travel_time, transmit_times, doppler_meas, lock_ok):
+                travel_time, transmit_times, doppler_meas, lock_ok,
+                iono8=None):
     """Scan over measurement epochs.
 
     packed_eph: (C, F); base_mask: (C,) bool; travel_time: (C, E) ms units;
     transmit_times: (E,) s; doppler_meas: (C, E) measured carrier Doppler, Hz;
     lock_ok: (C, E) bool — False once a channel's tracking lock was lost
-    (lock demotion, profiling.channel_lock_loss).
+    (lock demotion, profiling.channel_lock_loss); iono8: optional (8,)
+    Klobuchar coefficients (subframe 4 page 18) applied inside the solve.
     """
     elev_mask = config.elevation_mask_deg
     c_light = config.speed_of_light
@@ -159,7 +162,8 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
         sat_pos, clk = jax.vmap(partial(_satpos_one, t_tx))(packed_eph)
         obs = raw_p + clk * c_light
 
-        pos, el, az, dop = solve_epoch(sat_pos, obs, mask, use_trop)
+        iono_tow = None if iono8 is None else (iono8, t_tx)
+        pos, el, az, dop = solve_epoch(sat_pos, obs, mask, use_trop, iono_tow)
         ok = jnp.sum(mask) > 3
 
         # --- velocity from carrier Doppler (beyond the reference) ----------
@@ -247,6 +251,7 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
     # --- or warm-start TOW-only read against the supplied set --------------
     ephs: dict[int, Ephemeris] = {}
     tows: dict[int, float] = {}
+    iono8 = None                      # Klobuchar coefficients (sf4 page 18)
     for ch in list(active):
         start = int(first_subframe[ch])
         prn = int(track.prn[ch])
@@ -274,6 +279,12 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
         ephs[ch] = eph
         tows[ch] = tow
         eph_by_prn[int(track.prn[ch]) - 1] = eph
+        if iono8 is None and config.use_iono_corr:
+            iono8 = decode_iono(bits[1:], bits[0])
+            if iono8 is not None:
+                logger.info("Ionospheric coefficients decoded from channel "
+                            "%d (PRN %d); Klobuchar correction enabled.",
+                            ch, int(track.prn[ch]))
 
     if len(active) < 4:
         logger.warning("Too few satellites with ephemeris data (%d).", len(active))
@@ -391,7 +402,8 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
         outs = _epoch_scan(config, bool(config.use_trop_corr),
                            jnp.asarray(packed), jnp.asarray(base_mask),
                            jnp.asarray(travel), jnp.asarray(transmit_times),
-                           jnp.asarray(doppler), jnp.asarray(lock_ok))
+                           jnp.asarray(doppler), jnp.asarray(lock_ok),
+                           None if iono8 is None else jnp.asarray(iono8))
         (pos, dop, el, az, raw_p, corrected, lat, lon, hgt, vel4) = map(np.asarray, outs)
 
         # --- UTM conversion (zone fixed from the first valid fix) ----------

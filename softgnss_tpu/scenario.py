@@ -177,6 +177,11 @@ class Scenario:
     #: (e.g. zero a row's tail to kill a satellite mid-capture and exercise
     #: the receiver's lock-loss demotion)
     amplitude_ms: np.ndarray = field(default=None, repr=False)
+    #: optional (8,) Klobuchar [alpha0..3, beta0..3]: slant ionospheric
+    #: delays are injected into every satellite's signal AND the
+    #: coefficients are broadcast in subframe 4 page 18 — the receiver
+    #: must decode and correct them (config.use_iono_corr)
+    iono: np.ndarray = field(default=None, repr=False)
     delays: np.ndarray = field(default=None, repr=False)     # (S, n_ms+1) s
     dopplers: np.ndarray = field(default=None, repr=False)   # (S,) Hz at t_rx0
 
@@ -220,6 +225,11 @@ def build_scenario(config: ReceiverConfig, n_sats: int = 5,
     rx = np.asarray(geo2cart(np.array([latitude, 0, 0]),
                              np.array([longitude, 0, 0]), height, 4))
     t0 = tow_count * 6.0
+    # ephemeris epoch on the nav message's 16-s t_oe/t_oc quantization
+    # grid: tow_count*6 is not generally divisible by 16, and an epoch off
+    # the grid decodes 8 s away from the one synthesized — ~30 km of
+    # in-track satellite position inconsistency
+    t_epoch = round(t0 / 16.0) * 16.0
     rng = np.random.default_rng(seed)
 
     ephs, prns = [], []
@@ -231,7 +241,7 @@ def build_scenario(config: ReceiverConfig, n_sats: int = 5,
                 i_0=float(rng.uniform(0.8, 1.1)),
                 omega_0=float(rng.uniform(0, 2 * np.pi)),
                 m_0=float(rng.uniform(0, 2 * np.pi)),
-                t_oe=t0, iod=len(ephs) + 1,
+                t_oe=t_epoch, iod=len(ephs) + 1,
                 e=float(rng.uniform(0.005, 0.015)),
                 omega=float(rng.uniform(0, 2 * np.pi)),
                 delta_n=float(rng.uniform(-5e-9, 5e-9)),
@@ -252,7 +262,7 @@ def build_scenario(config: ReceiverConfig, n_sats: int = 5,
                 i_0=float(rng.uniform(0.8, 1.1)),
                 omega_0=float(rng.uniform(0, 2 * np.pi)),
                 m_0=float(rng.uniform(0, 2 * np.pi)),
-                t_oe=t0, iod=len(ephs) + 1,
+                t_oe=t_epoch, iod=len(ephs) + 1,
             )
         pos = propagate_orbit(eph, np.asarray([t0]))[:, 0]
         _, el, _ = topocent(rx, pos - rx)
@@ -293,12 +303,32 @@ def synthesize_scenario(scenario: Scenario, n_ms: int, seed: int = 0) -> np.ndar
             tau = light_times(scenario.receiver_ecef, eph,
                               t_stream - dt_sv) - dt_sv
         delays[i] = tau
+
+    if scenario.iono is not None:
+        # slant ionospheric group delay per satellite (Klobuchar at the
+        # truth position/geometry, effectively constant over the capture);
+        # the receiver recovers it from the broadcast page-18 coefficients
+        from softgnss_tpu.nav.geodesy import cart2geo, topocent
+        from softgnss_tpu.nav.iono import klobuchar
+        from softgnss_tpu.nav.orbit import satellite_positions
+
+        rx = np.asarray(scenario.receiver_ecef, np.float64)
+        lat, lon, _h = (float(np.asarray(v)) for v in
+                        cart2geo(rx[0], rx[1], rx[2], 4))
+        sat_pos, _ = satellite_positions(scenario.t_rx0, scenario.ephemerides)
+        az, el, _ = topocent(rx, (sat_pos - rx[:, None]).T)
+        tow = scenario.t_rx0 % 604800.0
+        d_ion = np.asarray(klobuchar(scenario.iono, lat, lon,
+                                     np.asarray(az), np.asarray(el), tow))
+        delays += d_ion[:, None]
+
     scenario.delays = delays
     scenario.dopplers = -cfg.l1_freq * (delays[:, 1] - delays[:, 0]) * 1000.0
 
     n_subframes = int(np.ceil((scenario.t_rx0 - scenario.t_bits0 + n_ms / 1000.0) / 6.0)) + 2
     streams = np.stack([
-        build_nav_stream(eph, scenario.tow_count - 1, n_subframes)
+        build_nav_stream(eph, scenario.tow_count - 1, n_subframes,
+                         iono=scenario.iono)
         for eph in scenario.ephemerides
     ]).astype(np.float32)
 
