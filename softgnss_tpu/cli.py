@@ -148,21 +148,23 @@ def main(argv=None) -> int:
                          "--xla_force_host_platform_device_count=N adds virtual "
                          "CPU devices)")
 
-    ephemerides = None
+    ephemerides = iono = None
     if args.ephemerides:
-        from softgnss_tpu.nav.message import load_ephemerides
+        from softgnss_tpu.nav.message import load_ephemerides, load_iono
         ephemerides = load_ephemerides(args.ephemerides)
+        iono = load_iono(args.ephemerides)
 
     results = run_receiver(config, signal=signal, file_name=args.file or None,
                            probe=args.probe, navigate=not args.no_nav,
                            checkpoint=args.checkpoint, mesh=mesh,
                            shard=args.shard, stream=args.stream,
-                           ephemerides=ephemerides)
+                           ephemerides=ephemerides, iono=iono)
     print(results.summary())
 
     if args.save_ephemerides and any(e is not None for e in results.ephemerides):
         from softgnss_tpu.nav.message import save_ephemerides
-        save_ephemerides(args.save_ephemerides, results.ephemerides)
+        save_ephemerides(args.save_ephemerides, results.ephemerides,
+                         iono=getattr(results.solutions, "iono", None))
         print(f"Ephemerides saved to {args.save_ephemerides}")
 
     if args.synthetic and results.has_fix:

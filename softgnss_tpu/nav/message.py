@@ -343,10 +343,13 @@ def decode_tow(bits, d30star) -> float:
     return float(z * _SECONDS_PER_SUBFRAME - _SECONDS_PER_SUBFRAME)
 
 
-def save_ephemerides(path: str, ephs: list[Ephemeris | None]) -> None:
+def save_ephemerides(path: str, ephs: list[Ephemeris | None],
+                     iono: np.ndarray | None = None) -> None:
     """Persist a 32-entry per-PRN ephemeris list to .npz (the warm-start
     input; pair with ``run_receiver(ephemerides=load_ephemerides(path))``).
-    Missing satellites/fields are NaN."""
+    Missing satellites/fields are NaN.  ``iono``: optional (8,) Klobuchar
+    coefficients stored alongside (``load_iono``) — a warm-start run
+    reads no subframe 4, so the prior run's correction rides the file."""
     import dataclasses
 
     names = [f.name for f in dataclasses.fields(Ephemeris)]
@@ -357,20 +360,30 @@ def save_ephemerides(path: str, ephs: list[Ephemeris | None]) -> None:
             if e is not None and getattr(e, name) is not None:
                 col[i] = getattr(e, name)
         arrays[name] = col
+    if iono is not None:
+        arrays["iono_klobuchar"] = np.asarray(iono, np.float64)
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
 
 
 def load_ephemerides(path: str) -> list[Ephemeris | None]:
-    """Inverse of :func:`save_ephemerides`."""
+    """Inverse of :func:`save_ephemerides` (ephemeris list part)."""
     data = np.load(path if path.endswith(".npz") else path + ".npz")
     out: list[Ephemeris | None] = []
     for i in range(32):
         eph = Ephemeris()
         any_field = False
         for name in data.files:
+            if name == "iono_klobuchar":
+                continue
             v = data[name][i]
             if np.isfinite(v):
                 any_field = True
                 setattr(eph, name, int(v) if name in _INT_FIELDS else float(v))
         out.append(eph if any_field else None)
     return out
+
+
+def load_iono(path: str) -> np.ndarray | None:
+    """Klobuchar coefficients stored by :func:`save_ephemerides`, if any."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    return data["iono_klobuchar"] if "iono_klobuchar" in data.files else None

@@ -101,6 +101,8 @@ class NavSolutions:
     #: capture ms of epoch 0 (subframe sync + sol period); epoch k is at
     #: first_epoch_ms + k * nav_sol_period_ms
     first_epoch_ms: int = 0
+    #: (8,) Klobuchar coefficients applied (decoded or supplied), or None
+    iono: np.ndarray | None = None
 
     @property
     def n_epochs(self) -> int:
@@ -218,6 +220,7 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
 
 
 def post_navigate(config: ReceiverConfig, track, ephemerides=None,
+                  iono=None,
                   ) -> tuple[NavSolutions | None, list[Ephemeris | None]]:
     """Full navigation stage on tracking output.
 
@@ -251,7 +254,9 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
     # --- or warm-start TOW-only read against the supplied set --------------
     ephs: dict[int, Ephemeris] = {}
     tows: dict[int, float] = {}
-    iono8 = None                      # Klobuchar coefficients (sf4 page 18)
+    # Klobuchar coefficients: supplied (warm start — no subframe 4 is
+    # read, message.load_iono) or decoded below from subframe 4 page 18
+    iono8 = None if iono is None else np.asarray(iono, np.float64)
     for ch in list(active):
         start = int(first_subframe[ch])
         prn = int(track.prn[ch])
@@ -428,6 +433,6 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
         raw_p=raw_p.T, corrected_p=corrected.T,
         utm_zone=utm_zone, first_subframe=first_subframe, tow=float(tow_common),
         vx=vel4[:, 0], vy=vel4[:, 1], vz=vel4[:, 2], clock_drift=vel4[:, 3],
-        first_epoch_ms=int(max_start), _period_ms=int(period),
+        first_epoch_ms=int(max_start), _period_ms=int(period), iono=iono8,
     )
     return solutions, eph_by_prn

@@ -181,6 +181,7 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
                  mesh=None, shard: str = "channel",
                  stream: bool = False,
                  ephemerides: list | None = None,
+                 iono: "np.ndarray | None" = None,
                  assist_position: np.ndarray | None = None,
                  assist_tow: float | None = None) -> ReceiverResults:
     """Run the full receiver chain.
@@ -249,7 +250,7 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
         if navigate:
             t0 = time.monotonic()
             results.solutions, results.ephemerides = post_navigate(
-                config, results.tracking, ephemerides=ephemerides)
+                config, results.tracking, ephemerides=ephemerides, iono=iono)
             results.timings_s["navigate"] = time.monotonic() - t0
         return results
 
@@ -321,6 +322,6 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
     if navigate:
         t0 = time.monotonic()
         results.solutions, results.ephemerides = post_navigate(
-                config, results.tracking, ephemerides=ephemerides)
+                config, results.tracking, ephemerides=ephemerides, iono=iono)
         results.timings_s["navigate"] = time.monotonic() - t0
     return results

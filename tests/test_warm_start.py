@@ -36,13 +36,16 @@ def test_decode_tow_matches_frame_decode():
 
 
 def test_save_load_roundtrip(tmp_path):
+    from softgnss_tpu.nav.message import load_iono
     from softgnss_tpu.scenario import keplerian_ephemeris
 
     ephs = [None] * 32
     ephs[6] = keplerian_ephemeris()
     ephs[20] = keplerian_ephemeris(omega_0=1.0)
     path = str(tmp_path / "eph.npz")
-    save_ephemerides(path, ephs)
+    iono = np.arange(8) * 1e-8
+    save_ephemerides(path, ephs, iono=iono)
+    np.testing.assert_array_equal(load_iono(path), iono)
     back = load_ephemerides(path)
     assert back[0] is None and back[31] is None
     for i in (6, 20):
