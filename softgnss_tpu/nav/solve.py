@@ -262,6 +262,13 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
         prn = int(track.prn[ch])
         provided = (ephemerides[prn - 1]
                     if ephemerides is not None and prn >= 1 else None)
+        if (provided is not None and provided.complete
+                and provided.health not in (None, 0)):
+            logger.warning("Channel %d (PRN %d): supplied ephemeris has "
+                           "health %d; excluded.", ch, prn,
+                           int(provided.health))
+            active = np.setdiff1d(active, ch)
+            continue
         if provided is not None and provided.complete:
             if start - _MS_PER_BIT < 0 or start + 60 * _MS_PER_BIT > n_ms:
                 active = np.setdiff1d(active, ch)
@@ -279,6 +286,16 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
         bits = np.where(window.reshape(-1, _MS_PER_BIT).sum(axis=1) > 0, 1, -1)
         eph, tow = decode_ephemeris(bits[1:], bits[0])
         if not eph.complete:
+            active = np.setdiff1d(active, ch)
+            continue
+        if eph.health not in (None, 0):
+            # SV health word (subframe 1): nonzero = do not use.  The
+            # reference decodes but never checks it (postNavigation.py
+            # uses every decoded channel)
+            logger.warning("Channel %d (PRN %d) broadcasts health %d; "
+                           "excluded from navigation.", ch,
+                           int(track.prn[ch]), int(eph.health))
+            eph_by_prn[int(track.prn[ch]) - 1] = eph
             active = np.setdiff1d(active, ch)
             continue
         ephs[ch] = eph

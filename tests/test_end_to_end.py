@@ -97,6 +97,27 @@ class TestEndToEnd:
         el = sol.el[np.isfinite(sol.el)]
         assert np.all(el >= cfg.elevation_mask_deg - 1.0)
 
+    def test_unhealthy_satellite_excluded(self, e2e_results):
+        """A satellite broadcasting a nonzero SV health word is excluded
+        from navigation (the reference decodes health but never checks
+        it); the fix survives on the remaining satellites."""
+        cfg, scenario, results = e2e_results
+        import copy
+
+        sc2 = copy.copy(scenario)
+        sc2.ephemerides = [copy.copy(e) for e in scenario.ephemerides]
+        sick = sc2.prns[0]
+        sc2.ephemerides[0].health = 1
+        sig = synthesize_scenario(sc2, N_MS + cfg.acquisition_ms + 2)
+        res = run_receiver(cfg, signal=sig)
+        assert res.has_fix
+        # the unhealthy PRN never appears in any epoch's used-satellite set
+        assert not (res.solutions.prn == sick).any()
+        err = np.linalg.norm(
+            np.stack([res.solutions.x, res.solutions.y, res.solutions.z], 1)
+            - np.asarray(sc2.receiver_ecef), axis=1)
+        assert np.nanmedian(err) < 30.0
+
     def test_satellite_killed_mid_capture_fix_survives(self, e2e_results):
         """Kill one satellite's signal at 33 s (amplitude envelope): the
         lock detector must demote its channel ('L', loss near the kill),
