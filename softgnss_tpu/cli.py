@@ -148,23 +148,26 @@ def main(argv=None) -> int:
                          "--xla_force_host_platform_device_count=N adds virtual "
                          "CPU devices)")
 
-    ephemerides = iono = None
+    ephemerides = iono = utc = None
     if args.ephemerides:
-        from softgnss_tpu.nav.message import load_ephemerides, load_iono
+        from softgnss_tpu.nav.message import (load_ephemerides, load_iono,
+                                              load_utc)
         ephemerides = load_ephemerides(args.ephemerides)
         iono = load_iono(args.ephemerides)
+        utc = load_utc(args.ephemerides)
 
     results = run_receiver(config, signal=signal, file_name=args.file or None,
                            probe=args.probe, navigate=not args.no_nav,
                            checkpoint=args.checkpoint, mesh=mesh,
                            shard=args.shard, stream=args.stream,
-                           ephemerides=ephemerides, iono=iono)
+                           ephemerides=ephemerides, iono=iono, utc=utc)
     print(results.summary())
 
     if args.save_ephemerides and any(e is not None for e in results.ephemerides):
         from softgnss_tpu.nav.message import save_ephemerides
         save_ephemerides(args.save_ephemerides, results.ephemerides,
-                         iono=getattr(results.solutions, "iono", None))
+                         iono=getattr(results.solutions, "iono", None),
+                         utc=getattr(results.solutions, "utc_params", None))
         print(f"Ephemerides saved to {args.save_ephemerides}")
 
     if args.synthetic and results.has_fix:

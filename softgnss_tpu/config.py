@@ -126,6 +126,22 @@ class ReceiverConfig:
     #: known true position (E, N, U) for plotting, or None
     #: (reference: initialize.py:156)
     true_position: tuple[float, float, float] | None = None
+    #: RAIM fault detection & exclusion (beyond the reference, which
+    #: discards its least-squares residuals, geoFunctions:704-719): each
+    #: epoch's post-fit residual sum-of-squares is chi-square tested; on a
+    #: fault, leave-one-out re-solves isolate and exclude the faulty
+    #: satellite (>= 6 usable satellites), else the epoch is invalidated.
+    #: See NavSolutions.raim_flag.
+    raim: bool = True
+    #: one-sigma pseudorange error (m) normalizing the RAIM test
+    #: statistic.  None (default) auto-calibrates from the capture: a
+    #: first residual pass takes a median-of-epochs robust scale, so the
+    #: test adapts to the front end's actual code noise (a persistent
+    #: fault spanning most of the capture inflates the estimate — supply
+    #: the receiver's known UERE explicitly to catch those)
+    raim_sigma_m: float | None = None
+    #: floor (m) under the auto-calibrated RAIM sigma
+    raim_sigma_floor_m: float = 3.0
 
     # --- lock monitoring (beyond the reference: tracking.py:253-275 logs
     # --- the observables but never reacts to lock loss) -----------------------

@@ -23,9 +23,13 @@ from softgnss_tpu.nav.message import (  # noqa: F401
     decode_ephemeris,
     decode_iono,
     decode_tow,
+    decode_utc,
     encode_subframe_source,
     load_ephemerides,
+    load_iono,
+    load_utc,
     save_ephemerides,
+    UtcParams,
 )
 from softgnss_tpu.nav.preamble import find_preambles  # noqa: F401
 from softgnss_tpu.nav.orbit import satellite_positions, check_t  # noqa: F401

@@ -163,7 +163,8 @@ def _int_to_bits(value: int, n: int) -> np.ndarray:
 
 def encode_subframe_source(subframe_id: int, tow_count_next: int,
                            eph: Ephemeris,
-                           iono: np.ndarray | None = None) -> np.ndarray:
+                           iono: np.ndarray | None = None,
+                           utc: "UtcParams | None" = None) -> np.ndarray:
     """Source (pre-parity) bits of one subframe, (300,) 0/1.
 
     Parity-region bits (positions w*30+24 .. w*30+29) are left 0 here; the
@@ -175,6 +176,8 @@ def encode_subframe_source(subframe_id: int, tow_count_next: int,
     bits[0:8] = PREAMBLE_BITS
     bits[30:47] = _uint_to_bits(tow_count_next % (1 << 17), 17)
     bits[49:52] = _uint_to_bits(subframe_id, 3)
+    if subframe_id == 4 and utc is not None:
+        encode_utc_page(bits, utc)
     if subframe_id == 4 and iono is not None:
         encode_iono_page(bits, iono)
     if subframe_id in _LAYOUTS:
@@ -209,7 +212,8 @@ def encode_subframe_source(subframe_id: int, tow_count_next: int,
 
 def build_nav_stream(eph: Ephemeris, first_tow_count: int, n_subframes: int,
                      d29star: int = 0, d30star: int = 0,
-                     iono: np.ndarray | None = None) -> np.ndarray:
+                     iono: np.ndarray | None = None,
+                     utc: "UtcParams | None" = None) -> np.ndarray:
     """Transmitted nav-bit stream of ``n_subframes`` consecutive subframes.
 
     Subframe IDs cycle 1..5 with the frame phase implied by
@@ -223,7 +227,7 @@ def build_nav_stream(eph: Ephemeris, first_tow_count: int, n_subframes: int,
         z = first_tow_count + k
         sf_id = z % 5 + 1
         src = encode_subframe_source(sf_id, (z + 1) % (1 << 17), eph,
-                                     iono=iono)
+                                     iono=iono, utc=utc)
         words.append(src.reshape(_WORDS, 30)[:, :24])
     source_words = np.concatenate(words, axis=0)
     tx01 = encode_stream(source_words, d29star, d30star)
@@ -306,6 +310,86 @@ def encode_iono_page(bits: np.ndarray, iono: np.ndarray) -> None:
         bits[start:start + 8] = _int_to_bits(int(round(float(iono[k]) / scale)), 8)
 
 
+@dataclass
+class UtcParams:
+    """GPS-UTC conversion parameters from subframe 4 page 18 words 6-10
+    (IS-GPS-200 20.3.3.5.1.6; the reference discards subframes 4-5,
+    ephemeris.py:88-91)."""
+
+    a0: float = 0.0            # s, bias at reference time
+    a1: float = 0.0            # s/s, drift
+    t_ot: float = 0.0          # s, reference time of week
+    wn_t: int = 0              # reference week (mod 256)
+    delta_t_ls: int = 18       # s, current leap seconds
+    wn_lsf: int = 0            # week of next/most-recent leap event (mod 256)
+    dn: int = 1                # day of that week, 1..7
+    delta_t_lsf: int = 18      # s, leap seconds after the event
+
+    def gps_to_utc_offset(self, tow: float, week_number: int) -> float:
+        """GPS-minus-UTC offset (s) at GPS time (week, tow):
+        delta_t_UTC = delta_t_LS + A0 + A1 (t - t_ot + 604800 (WN - WN_t))
+        (IS-GPS-200 20.3.3.5.2.4).  The leap-second field switches to
+        delta_t_LSF once (WN_LSF, DN) is in the past — both weeks compare
+        mod 256, as broadcast."""
+        wn8 = week_number % 256
+        dw = ((wn8 - self.wn_t + 128) % 256) - 128
+        offset = self.a0 + self.a1 * (tow - self.t_ot + 604800.0 * dw)
+        dw_lsf = ((wn8 - self.wn_lsf + 128) % 256) - 128
+        past_event = dw_lsf > 0 or (dw_lsf == 0 and tow >= self.dn * 86400.0)
+        leap = self.delta_t_lsf if past_event else self.delta_t_ls
+        return leap + offset
+
+
+#: page 18 words 6-10: UTC fields as (name, bit starts+lengths, scale,
+#: signed).  A0 spans the word 7/8 boundary (24 MSBs + 8 LSBs)
+_UTC_FIELDS = [
+    ("a1", [(150, 24)], 2.0**-50, True),
+    ("a0", [(180, 24), (210, 8)], 2.0**-30, True),
+    ("t_ot", [(218, 8)], 2.0**12, False),
+    ("wn_t", [(226, 8)], 1.0, False),
+    ("delta_t_ls", [(240, 8)], 1.0, True),
+    ("wn_lsf", [(248, 8)], 1.0, False),
+    ("dn", [(256, 8)], 1.0, False),
+    ("delta_t_lsf", [(270, 8)], 1.0, True),
+]
+
+
+def encode_utc_page(bits: np.ndarray, utc: UtcParams) -> None:
+    """Fill a subframe-4 source-bit array with the page-18 UTC parameters
+    (inverse of :func:`decode_utc`; shares the page with the Klobuchar
+    coefficients)."""
+    bits[60:62] = _uint_to_bits(1, 2)                      # data ID
+    bits[62:68] = _uint_to_bits(_IONO_PAGE_ID, 6)
+    for name, slices, scale, signed in _UTC_FIELDS:
+        raw = int(round(float(getattr(utc, name)) / scale))
+        total = sum(n for _, n in slices)
+        field = _int_to_bits(raw, total) if signed else _uint_to_bits(raw, total)
+        k = 0
+        for start, n in slices:
+            bits[start:start + n] = field[k:k + n]
+            k += n
+
+
+def decode_utc(bits, d30star) -> UtcParams | None:
+    """UTC parameters from a 5-subframe window, or None if no subframe-4
+    page 18 is present.  Same conventions as :func:`decode_iono`."""
+    source = _corrected_words(bits, d30star, 50).reshape(5, _SUBFRAME_BITS)
+    for sf in range(5):
+        subframe = source[sf]
+        if _bits_to_uint(subframe[49:52]) != 4:
+            continue
+        if _bits_to_uint(subframe[62:68]) != _IONO_PAGE_ID:
+            continue
+        utc = UtcParams()
+        for name, slices, scale, signed in _UTC_FIELDS:
+            raw_bits = np.concatenate([subframe[s:s + n] for s, n in slices])
+            raw = _bits_to_int(raw_bits) if signed else _bits_to_uint(raw_bits)
+            value = raw * scale
+            setattr(utc, name, value if scale != 1.0 else int(value))
+        return utc
+    return None
+
+
 def decode_iono(bits, d30star) -> np.ndarray | None:
     """Klobuchar coefficients (8,) [alpha0..3, beta0..3] from a 5-subframe
     window, or None if no subframe-4 page 18 is present.
@@ -344,12 +428,14 @@ def decode_tow(bits, d30star) -> float:
 
 
 def save_ephemerides(path: str, ephs: list[Ephemeris | None],
-                     iono: np.ndarray | None = None) -> None:
+                     iono: np.ndarray | None = None,
+                     utc: UtcParams | None = None) -> None:
     """Persist a 32-entry per-PRN ephemeris list to .npz (the warm-start
     input; pair with ``run_receiver(ephemerides=load_ephemerides(path))``).
     Missing satellites/fields are NaN.  ``iono``: optional (8,) Klobuchar
-    coefficients stored alongside (``load_iono``) — a warm-start run
-    reads no subframe 4, so the prior run's correction rides the file."""
+    coefficients stored alongside (``load_iono``); ``utc``: optional UTC
+    parameters (``load_utc``) — a warm-start run reads no subframe 4, so
+    the prior run's page-18 data rides the file."""
     import dataclasses
 
     names = [f.name for f in dataclasses.fields(Ephemeris)]
@@ -362,6 +448,10 @@ def save_ephemerides(path: str, ephs: list[Ephemeris | None],
         arrays[name] = col
     if iono is not None:
         arrays["iono_klobuchar"] = np.asarray(iono, np.float64)
+    if utc is not None:
+        arrays["utc_params"] = np.asarray(
+            [getattr(utc, f.name) for f in dataclasses.fields(UtcParams)],
+            np.float64)
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
 
 
@@ -373,7 +463,7 @@ def load_ephemerides(path: str) -> list[Ephemeris | None]:
         eph = Ephemeris()
         any_field = False
         for name in data.files:
-            if name == "iono_klobuchar":
+            if name in ("iono_klobuchar", "utc_params"):
                 continue
             v = data[name][i]
             if np.isfinite(v):
@@ -387,3 +477,18 @@ def load_iono(path: str) -> np.ndarray | None:
     """Klobuchar coefficients stored by :func:`save_ephemerides`, if any."""
     data = np.load(path if path.endswith(".npz") else path + ".npz")
     return data["iono_klobuchar"] if "iono_klobuchar" in data.files else None
+
+
+def load_utc(path: str) -> UtcParams | None:
+    """UTC parameters stored by :func:`save_ephemerides`, if any."""
+    import dataclasses
+
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    if "utc_params" not in data.files:
+        return None
+    vals = data["utc_params"]
+    utc = UtcParams()
+    for k, f in enumerate(dataclasses.fields(UtcParams)):
+        v = float(vals[k])
+        setattr(utc, f.name, v if f.type == "float" else int(v))
+    return utc

@@ -70,7 +70,12 @@ def solve_epoch(sat_pos, obs, mask, use_trop: bool, iono_tow=None):
     ``iono_tow``: optional ((8,) Klobuchar coefficients, GPS tow) —
     applies the broadcast ionospheric correction alongside the
     troposphere (beyond the reference, which ignores subframe 4's
-    coefficients entirely; see nav.iono)."""
+    coefficients entirely; see nav.iono).
+
+    Returns (pos[4], el, az, dop[5], resid) where ``resid`` is the (S,)
+    post-fit pseudorange residual at the converged position (0 where
+    masked) — the input to the RAIM fault test in nav.solve (beyond the
+    reference, which discards its residuals, geoFunctions:704-719)."""
     s = sat_pos.shape[0]
     wgt = mask.astype(jnp.float64)
     pos0 = jnp.zeros(4, jnp.float64)
@@ -141,7 +146,24 @@ def solve_epoch(sat_pos, obs, mask, use_trop: bool, iono_tow=None):
         jnp.sqrt(q[2, 2]),
         jnp.sqrt(q[3, 3]),
     ])
-    return pos, el, az, dop
+
+    # post-fit residuals at the converged position (atmosphere evaluated
+    # at the final elevations carried out of the loop); feeds the RAIM
+    # chi-square test in nav.solve
+    if use_trop:
+        trop_f = tropo(jnp.sin(jnp.deg2rad(el)))
+    else:
+        trop_f = jnp.zeros(s)
+    if iono_tow is not None:
+        from softgnss_tpu.nav.geodesy import cart2geo
+        from softgnss_tpu.nav.iono import klobuchar
+
+        iono8, tow = iono_tow
+        lat, lon, _h = cart2geo(pos[0], pos[1], pos[2], 4)
+        trop_f = trop_f + SPEED_OF_LIGHT * klobuchar(iono8, lat, lon, az, el, tow)
+    dist_f = jnp.linalg.norm(diff, axis=-1)
+    resid = jnp.where(mask, obs - dist_f - pos[3] - trop_f, 0.0)
+    return pos, el, az, dop, resid
 
 
 _solve_jit = jax.jit(solve_epoch, static_argnums=(3,))
@@ -165,6 +187,6 @@ def least_squares_pos(sat_pos, obs, mask=None, use_trop: bool = True):
     # host backend + cached module-level jit: a fresh jit(partial(...)) per
     # call would retrace the 7-iteration solver every invocation
     with host_context():
-        pos, el, az, dop = _solve_jit(jnp.asarray(sat_pos), jnp.asarray(obs),
-                                      jnp.asarray(mask), bool(use_trop))
+        pos, el, az, dop, _resid = _solve_jit(jnp.asarray(sat_pos), jnp.asarray(obs),
+                                              jnp.asarray(mask), bool(use_trop))
     return (np.asarray(pos), np.asarray(el), np.asarray(az), np.asarray(dop))

@@ -38,8 +38,8 @@ import numpy as np
 
 from softgnss_tpu.config import ReceiverConfig
 from softgnss_tpu.nav.geodesy import cart2geo, cart2utm, find_utm_zone
-from softgnss_tpu.nav.message import (Ephemeris, decode_ephemeris,
-                                      decode_iono, decode_tow)
+from softgnss_tpu.nav.message import (Ephemeris, UtcParams, decode_ephemeris,
+                                      decode_iono, decode_tow, decode_utc)
 from softgnss_tpu.nav.orbit import _satpos_one, pack_ephemerides
 from softgnss_tpu.nav.hostctx import host_context
 from softgnss_tpu.nav.preamble import find_preambles
@@ -50,6 +50,13 @@ logger = logging.getLogger(__name__)
 _MS_PER_BIT = 20
 
 _FRAME_BITS = 1500
+
+#: chi-square inverse CDF at confidence 0.999 (per-epoch false-alarm
+#: probability 1e-3) for 1..16 degrees of freedom — the RAIM fault-test
+#: thresholds on the normalized residual sum of squares
+_CHI2_999 = np.array([10.828, 13.816, 16.266, 18.467, 20.515, 22.458,
+                      24.322, 26.124, 27.877, 29.588, 31.264, 32.909,
+                      34.528, 36.123, 37.697, 39.252])
 #: minimum capture for a solution: 5 subframes + sync margin
 #: (reference guard: postNavigation.py:104)
 MIN_NAV_MS = 36000
@@ -103,6 +110,29 @@ class NavSolutions:
     first_epoch_ms: int = 0
     #: (8,) Klobuchar coefficients applied (decoded or supplied), or None
     iono: np.ndarray | None = None
+    #: (E,) RAIM outcome per epoch (beyond the reference): 0 = residuals
+    #: consistent, 1 = fault isolated & excluded (see raim_excluded_prn),
+    #: 2 = fault detected but not isolable — epoch invalidated (NaN fix)
+    raim_flag: np.ndarray | None = None
+    #: (E,) PRN excluded by RAIM at each epoch (0 = none)
+    raim_excluded_prn: np.ndarray | None = None
+    #: GPS->UTC parameters decoded from subframe 4 page 18 (or supplied
+    #: on warm start), or None; see utc_offset_s (the reference discards
+    #: subframes 4-5 and has no UTC output)
+    utc_params: UtcParams | None = None
+    #: full GPS week number of the decoded ephemerides (reference decodes
+    #: the 10-bit week + 1024 but never exposes it in navSolutions)
+    week_number: int | None = None
+
+    def utc_offset_s(self, epoch: int = 0) -> float | None:
+        """GPS-minus-UTC offset (s) at a measurement epoch, from the
+        broadcast UTC parameters — subtract from GPS time of week for UTC
+        (IS-GPS-200 20.3.3.5.2.4).  None without utc_params/week."""
+        if self.utc_params is None or self.week_number is None:
+            return None
+        tow = self.tow + (self.first_epoch_ms
+                          + epoch * self._period_ms) / 1000.0
+        return self.utc_params.gps_to_utc_offset(tow, self.week_number)
 
     @property
     def n_epochs(self) -> int:
@@ -140,14 +170,17 @@ def calculate_pseudoranges(config: ReceiverConfig, absolute_sample: np.ndarray,
 @partial(jax.jit, static_argnums=(0, 1))
 def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
                 travel_time, transmit_times, doppler_meas, lock_ok,
-                iono8=None):
+                iono8=None, raim_sigma=np.inf):
     """Scan over measurement epochs.
 
     packed_eph: (C, F); base_mask: (C,) bool; travel_time: (C, E) ms units;
     transmit_times: (E,) s; doppler_meas: (C, E) measured carrier Doppler, Hz;
     lock_ok: (C, E) bool — False once a channel's tracking lock was lost
     (lock demotion, profiling.channel_lock_loss); iono8: optional (8,)
-    Klobuchar coefficients (subframe 4 page 18) applied inside the solve.
+    Klobuchar coefficients (subframe 4 page 18) applied inside the solve;
+    raim_sigma: one-sigma pseudorange error (m) for the RAIM fault test —
+    jnp.inf disables detection (used for the sigma-calibration pass, which
+    reuses this same compiled program).
     """
     elev_mask = config.elevation_mask_deg
     c_light = config.speed_of_light
@@ -165,8 +198,59 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
         obs = raw_p + clk * c_light
 
         iono_tow = None if iono8 is None else (iono8, t_tx)
-        pos, el, az, dop = solve_epoch(sat_pos, obs, mask, use_trop, iono_tow)
-        ok = jnp.sum(mask) > 3
+        pos, el, az, dop, resid = solve_epoch(sat_pos, obs, mask, use_trop,
+                                              iono_tow)
+        n_used = jnp.sum(mask)
+        ok = n_used > 3
+
+        # --- RAIM fault detection & exclusion (beyond the reference) ------
+        # Normalized post-fit residual SSE ~ chi2(n_used - 4) under the
+        # null; on a fault, leave-one-out re-solves isolate the faulty
+        # satellite when redundancy allows (n_used >= 6), else the epoch
+        # is invalidated.  The exclusion is per-epoch: the carry keeps the
+        # excluded satellite's elevation so it is re-tested (and
+        # re-excluded while the fault persists) at later epochs.
+        c_ch = mask.shape[0]
+        mask_eff = mask
+        raim_flag = jnp.int32(0)
+        excl_ch = jnp.int32(-1)
+        sse_raw = jnp.sum(resid * resid)
+        if config.raim:
+            sigma2 = raim_sigma * raim_sigma
+            dof = n_used - 4
+            sse = sse_raw / sigma2
+            thr = jnp.asarray(_CHI2_999)[jnp.clip(dof, 1, 16) - 1]
+            fault = (dof >= 1) & (sse > thr)
+
+            def exclude(_):
+                excl_masks = mask[None, :] & ~jnp.eye(c_ch, dtype=bool)
+                e_pos, e_el, e_az, e_dop, e_res = jax.vmap(
+                    lambda m: solve_epoch(sat_pos, obs, m, use_trop,
+                                          iono_tow))(excl_masks)
+                e_sse = jnp.where(mask, jnp.sum(e_res * e_res, axis=1) / sigma2,
+                                  jnp.inf)
+                j = jnp.argmin(e_sse).astype(jnp.int32)
+                thr_ex = jnp.asarray(_CHI2_999)[jnp.clip(dof - 1, 1, 16) - 1]
+                isolated = e_sse[j] < thr_ex
+                return (isolated, j, e_pos[j], e_el[j], e_az[j], e_dop[j],
+                        excl_masks[j])
+
+            def no_exclude(_):
+                return (jnp.bool_(False), jnp.int32(-1), pos, el, az, dop, mask)
+
+            isolated, j, x_pos, x_el, x_az, x_dop, x_mask = jax.lax.cond(
+                fault & (n_used >= 6), exclude, no_exclude, None)
+            pos = jnp.where(isolated, x_pos, pos)
+            el = jnp.where(isolated, x_el, el)
+            az = jnp.where(isolated, x_az, az)
+            dop = jnp.where(isolated, x_dop, dop)
+            mask_eff = jnp.where(isolated, x_mask, mask)
+            raim_flag = jnp.where(fault,
+                                  jnp.where(isolated, jnp.int32(1),
+                                            jnp.int32(2)), jnp.int32(0))
+            excl_ch = jnp.where(isolated, j.astype(jnp.int32), jnp.int32(-1))
+            # a detected but non-isolated fault invalidates the epoch
+            ok = ok & ~(fault & ~isolated)
 
         # --- velocity from carrier Doppler (beyond the reference) ----------
         # rho_dot_i = e_i . (v_sat_i - v_rx) + clock_drift, with
@@ -184,11 +268,11 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
         rho = jnp.linalg.norm(diff, axis=-1)
         e_los = diff / jnp.maximum(rho, 1.0)[:, None]
         rho_dot = -lam * doppler
-        vobs = jnp.where(mask,
+        vobs = jnp.where(mask_eff,
                          rho_dot + c_light * clk_drift
                          - jnp.sum(e_los * sat_vel, axis=-1), 0.0)
         a_v = jnp.concatenate([-e_los, jnp.ones((e_los.shape[0], 1))], axis=1)
-        a_v = a_v * mask.astype(jnp.float64)[:, None]
+        a_v = a_v * mask_eff.astype(jnp.float64)[:, None]
         inv_v, det_v = inv4(a_v.T @ a_v)
         vel4 = jnp.where((jnp.abs(det_v) > 1e-12) & ok,
                          inv_v @ (a_v.T @ vobs), jnp.nan)
@@ -196,9 +280,9 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
         nan = jnp.float64(jnp.nan)
         pos = jnp.where(ok, pos, nan)
         dop = jnp.where(ok, dop, 0.0)
-        el_out = jnp.where(ok & mask, el, nan)
-        az_out = jnp.where(ok & mask, az, nan)
-        corrected = jnp.where(mask, raw_p + clk * c_light + pos[3], nan)
+        el_out = jnp.where(ok & mask_eff, el, nan)
+        az_out = jnp.where(ok & mask_eff, az, nan)
+        corrected = jnp.where(mask_eff, raw_p + clk * c_light + pos[3], nan)
         lat, lon, hgt = cart2geo(pos[0], pos[1], pos[2], 4)
 
         # carry: after a successful solve, masked-out satellites get NaN
@@ -206,10 +290,14 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
         # postNavigation.py:241 + the nan-initialized el columns); a FAILED
         # epoch keeps the previous elevations so a transient <4-satellite
         # gap does not blind every later epoch (the reference likewise only
-        # updates satElev inside the >3-satellite branch)
+        # updates satElev inside the >3-satellite branch).  The pre-RAIM
+        # mask is used on purpose: a RAIM-excluded satellite keeps its
+        # elevation and is re-tested at the next epoch (per-epoch FDE),
+        # rather than being blinded for the rest of the run
         new_elev = jnp.where(ok, jnp.where(mask, el, nan), sat_elev)
-        outs = (pos, dop, el_out, az_out, jnp.where(mask, raw_p, nan), corrected,
-                lat, lon, hgt, vel4)
+        outs = (pos, dop, el_out, az_out,
+                jnp.where(mask_eff, raw_p, nan), corrected,
+                lat, lon, hgt, vel4, raim_flag, excl_ch, sse_raw, n_used)
         return new_elev, outs
 
     init_elev = jnp.full(base_mask.shape, jnp.inf)
@@ -220,7 +308,7 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
 
 
 def post_navigate(config: ReceiverConfig, track, ephemerides=None,
-                  iono=None,
+                  iono=None, utc=None,
                   ) -> tuple[NavSolutions | None, list[Ephemeris | None]]:
     """Full navigation stage on tracking output.
 
@@ -257,6 +345,7 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
     # Klobuchar coefficients: supplied (warm start — no subframe 4 is
     # read, message.load_iono) or decoded below from subframe 4 page 18
     iono8 = None if iono is None else np.asarray(iono, np.float64)
+    utc_params: UtcParams | None = utc
     for ch in list(active):
         start = int(first_subframe[ch])
         prn = int(track.prn[ch])
@@ -307,6 +396,11 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
                 logger.info("Ionospheric coefficients decoded from channel "
                             "%d (PRN %d); Klobuchar correction enabled.",
                             ch, int(track.prn[ch]))
+        if utc_params is None:
+            utc_params = decode_utc(bits[1:], bits[0])
+            if utc_params is not None:
+                logger.info("UTC parameters decoded from channel %d "
+                            "(PRN %d).", ch, int(track.prn[ch]))
 
     if len(active) < 4:
         logger.warning("Too few satellites with ephemeris data (%d).", len(active))
@@ -421,12 +515,38 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
             doppler[ch] = (csum[hi] - csum[lo]) / (hi - lo) - config.intermediate_freq
 
     with host_context():
-        outs = _epoch_scan(config, bool(config.use_trop_corr),
-                           jnp.asarray(packed), jnp.asarray(base_mask),
-                           jnp.asarray(travel), jnp.asarray(transmit_times),
-                           jnp.asarray(doppler), jnp.asarray(lock_ok),
-                           None if iono8 is None else jnp.asarray(iono8))
-        (pos, dop, el, az, raw_p, corrected, lat, lon, hgt, vel4) = map(np.asarray, outs)
+        scan_args = (jnp.asarray(packed), jnp.asarray(base_mask),
+                     jnp.asarray(travel), jnp.asarray(transmit_times),
+                     jnp.asarray(doppler), jnp.asarray(lock_ok),
+                     None if iono8 is None else jnp.asarray(iono8))
+        use_trop = bool(config.use_trop_corr)
+        raim_sigma = np.inf
+        if config.raim:
+            if config.raim_sigma_m is not None:
+                raim_sigma = float(config.raim_sigma_m)
+            else:
+                # sigma auto-calibration: run the same compiled scan with
+                # detection off (sigma = inf) and take a robust per-epoch
+                # scale from the raw residual SSE.  sse/median(chi2(dof))
+                # estimates sigma^2 from each epoch; the median over
+                # epochs rejects transiently faulty ones
+                pre = _epoch_scan(config, use_trop, *scan_args, np.inf)
+                sse_pre = np.asarray(pre[12])
+                n_pre = np.asarray(pre[13])
+                dof_pre = n_pre - 4
+                sel = dof_pre >= 1
+                if sel.any():
+                    # median of chi2(k) ~ k*(1 - 2/(9k))^3 (Wilson-Hilferty)
+                    med_k = dof_pre[sel] * (1.0 - 2.0 / (9.0 * dof_pre[sel])) ** 3
+                    sigma_est = np.sqrt(np.median(sse_pre[sel] / med_k))
+                else:
+                    sigma_est = 0.0
+                raim_sigma = max(float(sigma_est), config.raim_sigma_floor_m)
+                logger.info("RAIM sigma auto-calibrated: %.2f m over %d "
+                            "epochs.", raim_sigma, int(sel.sum()))
+        outs = _epoch_scan(config, use_trop, *scan_args, raim_sigma)
+        (pos, dop, el, az, raw_p, corrected, lat, lon, hgt, vel4,
+         raim_flag, raim_excl_ch, _sse, _n_used) = map(np.asarray, outs)
 
         # --- UTM conversion (zone fixed from the first valid fix) ----------
         valid = np.isfinite(lat)
@@ -442,6 +562,19 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
     prn = np.zeros((c_ch, n_epochs), np.int64)
     prn[active] = np.asarray(track.prn)[active, None]
 
+    prn_arr = np.asarray(track.prn, np.int64)
+    raim_prn = np.where(raim_excl_ch >= 0,
+                        prn_arr[np.clip(raim_excl_ch, 0, c_ch - 1)], 0)
+    for flag, count in zip(*np.unique(raim_flag[raim_flag > 0],
+                                      return_counts=True)):
+        if flag == 1:
+            logger.warning("RAIM excluded a faulty satellite at %d epoch(s) "
+                           "(PRNs %s).", count,
+                           sorted(set(raim_prn[raim_flag == 1].tolist())))
+        else:
+            logger.warning("RAIM detected non-isolable faults at %d "
+                           "epoch(s); fixes invalidated.", count)
+
     solutions = NavSolutions(
         x=pos[:, 0], y=pos[:, 1], z=pos[:, 2], dt=pos[:, 3],
         latitude=lat, longitude=lon, height=hgt,
@@ -451,5 +584,9 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
         utm_zone=utm_zone, first_subframe=first_subframe, tow=float(tow_common),
         vx=vel4[:, 0], vy=vel4[:, 1], vz=vel4[:, 2], clock_drift=vel4[:, 3],
         first_epoch_ms=int(max_start), _period_ms=int(period), iono=iono8,
+        raim_flag=raim_flag, raim_excluded_prn=raim_prn,
+        utc_params=utc_params,
+        week_number=(int(ephs[int(active[0])].week_number)
+                     if ephs[int(active[0])].week_number is not None else None),
     )
     return solutions, eph_by_prn

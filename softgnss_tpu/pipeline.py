@@ -90,6 +90,24 @@ class ReceiverResults:
                     if np.isfinite(v).any():
                         lines.append(f"Velocity: median |v| {np.nanmedian(v):.3f} m/s, "
                                      f"clock drift {np.nanmedian(self.solutions.clock_drift):.3f} m/s")
+                utc_off = self.solutions.utc_offset_s()
+                if utc_off is not None:
+                    lines.append(
+                        f"UTC: GPS-UTC offset {utc_off:.9f} s "
+                        f"(leap seconds "
+                        f"{int(self.solutions.utc_params.delta_t_ls)}; "
+                        f"week {self.solutions.week_number})")
+                flags = self.solutions.raim_flag
+                if flags is not None and (flags > 0).any():
+                    n_ex = int((flags == 1).sum())
+                    n_bad = int((flags == 2).sum())
+                    prns = sorted(set(
+                        self.solutions.raim_excluded_prn[flags == 1].tolist()))
+                    lines.append(
+                        f"RAIM: {n_ex} epoch(s) with a satellite excluded"
+                        + (f" (PRNs {prns})" if prns else "")
+                        + (f", {n_bad} epoch(s) invalidated (non-isolable fault)"
+                           if n_bad else ""))
             else:
                 lines.append("PVT: no fixes")
         elif self.tracking is not None:
@@ -182,6 +200,7 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
                  stream: bool = False,
                  ephemerides: list | None = None,
                  iono: "np.ndarray | None" = None,
+                 utc=None,
                  assist_position: np.ndarray | None = None,
                  assist_tow: float | None = None) -> ReceiverResults:
     """Run the full receiver chain.
@@ -250,7 +269,7 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
         if navigate:
             t0 = time.monotonic()
             results.solutions, results.ephemerides = post_navigate(
-                config, results.tracking, ephemerides=ephemerides, iono=iono)
+                config, results.tracking, ephemerides=ephemerides, iono=iono, utc=utc)
             results.timings_s["navigate"] = time.monotonic() - t0
         return results
 
@@ -322,6 +341,6 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
     if navigate:
         t0 = time.monotonic()
         results.solutions, results.ephemerides = post_navigate(
-                config, results.tracking, ephemerides=ephemerides, iono=iono)
+                config, results.tracking, ephemerides=ephemerides, iono=iono, utc=utc)
         results.timings_s["navigate"] = time.monotonic() - t0
     return results

@@ -14,7 +14,9 @@ closed-form truth propagator stays independent of the receiver's Kepler
 code; ``build_scenario(full_model=True)`` switches to eccentric orbits
 with harmonics and satellite clock terms (a_f0/a_f1/T_GD + relativistic),
 exercising every branch of the broadcast model closed-loop.  The receiver
-is always static with a drift-free clock.
+clock is drift-free; the receiver is static by default, or moves at a
+constant velocity when ``build_scenario(velocity_enu=...)`` is given
+(kinematic closed loop).
 """
 
 from __future__ import annotations
@@ -151,13 +153,16 @@ def light_times(rx_ecef: np.ndarray, eph: Ephemeris, t_tx: np.ndarray) -> np.nda
     evaluated at transmit time).
     """
     pos = propagate_orbit(eph, t_tx)
+    # rx_ecef: (3,) static receiver, or (3, T) per-transmit-time receiver
+    # positions in the receive-time ECEF frame (moving receiver)
+    rx = rx_ecef if rx_ecef.ndim == 2 else rx_ecef[:, None]
     tau = np.full(pos.shape[1], 0.07)
     for _ in range(4):
         ang = _W_SAGNAC * tau
         rot = np.stack([np.cos(ang) * pos[0] + np.sin(ang) * pos[1],
                         -np.sin(ang) * pos[0] + np.cos(ang) * pos[1],
                         pos[2]])
-        tau = np.linalg.norm(rot - rx_ecef[:, None], axis=0) / SPEED_OF_LIGHT
+        tau = np.linalg.norm(rot - rx, axis=0) / SPEED_OF_LIGHT
     return tau
 
 
@@ -182,6 +187,14 @@ class Scenario:
     #: coefficients are broadcast in subframe 4 page 18 — the receiver
     #: must decode and correct them (config.use_iono_corr)
     iono: np.ndarray = field(default=None, repr=False)
+    #: optional UTC parameters broadcast on subframe 4 page 18 alongside
+    #: the Klobuchar coefficients — the receiver decodes them and reports
+    #: GPS->UTC time (nav.message.UtcParams)
+    utc: object = field(default=None, repr=False)
+    #: optional (3,) constant receiver ECEF velocity, m/s (kinematic
+    #: scenario — the reference and its recordings are static-only);
+    #: truth position at GPS time t is ``receiver_ecef_at(t)``
+    receiver_vel: np.ndarray = field(default=None, repr=False)
     delays: np.ndarray = field(default=None, repr=False)     # (S, n_ms+1) s
     dopplers: np.ndarray = field(default=None, repr=False)   # (S,) Hz at t_rx0
 
@@ -189,6 +202,17 @@ class Scenario:
     def t_bits0(self) -> float:
         """Transmit time of bit 0 (one subframe of history before tow_count)."""
         return (self.tow_count - 1) * 6.0
+
+    def receiver_ecef_at(self, t) -> np.ndarray:
+        """Truth receiver position(s) at GPS receive time(s) t: (3,) or (3, T)."""
+        t = np.asarray(t, np.float64)
+        rx = np.asarray(self.receiver_ecef, np.float64)
+        if t.ndim:
+            rx = np.broadcast_to(rx[:, None], (3,) + t.shape).copy()
+        if self.receiver_vel is None:
+            return rx
+        return rx + np.multiply.outer(np.asarray(self.receiver_vel, np.float64),
+                                      t - self.t_rx0).reshape(rx.shape)
 
     def expected_code_phase(self, i: int) -> float:
         """Acquisition code phase (samples) of satellite i at capture start."""
@@ -208,7 +232,9 @@ def build_scenario(config: ReceiverConfig, n_sats: int = 5,
                    noise_std: float = 1.5, amplitude: float = 1.0,
                    min_elevation: float = 20.0, seed: int = 11,
                    sync_offset_s: float = 0.35,
-                   full_model: bool = False) -> Scenario:
+                   full_model: bool = False,
+                   velocity_enu: tuple[float, float, float] | None = None,
+                   ) -> Scenario:
     """Construct a consistent scenario with n_sats visible satellites.
 
     The capture starts ``sync_offset_s`` before the arrival of subframe
@@ -221,6 +247,13 @@ def build_scenario(config: ReceiverConfig, n_sats: int = 5,
     (reference geoFunctions:819-885) then flows encode -> decode -> satpos
     -> PVT closed-loop.  Magnitudes are typical broadcast values, all well
     inside the nav-message field widths.
+
+    ``velocity_enu``: optional constant receiver velocity (east, north,
+    up) in m/s — a kinematic scenario (beyond the reference, whose
+    recordings are static).  Satellite delays then follow the moving
+    receiver, so tracked Doppler, pseudoranges, and the PVT/velocity
+    solutions must all reflect the trajectory
+    ``receiver_ecef_at(t)``.
     """
     rx = np.asarray(geo2cart(np.array([latitude, 0, 0]),
                              np.array([longitude, 0, 0]), height, 4))
@@ -272,10 +305,21 @@ def build_scenario(config: ReceiverConfig, n_sats: int = 5,
     if len(ephs) < n_sats:
         raise RuntimeError("scenario generation failed to place satellites")
 
+    vel = None
+    if velocity_enu is not None:
+        lam, phi = np.deg2rad(longitude), np.deg2rad(latitude)
+        enu = np.array([
+            [-np.sin(lam), -np.sin(phi) * np.cos(lam), np.cos(phi) * np.cos(lam)],
+            [np.cos(lam), -np.sin(phi) * np.sin(lam), np.cos(phi) * np.sin(lam)],
+            [0.0, np.cos(phi), np.sin(phi)],
+        ])                                  # columns: e_hat, n_hat, u_hat
+        vel = enu @ np.asarray(velocity_enu, np.float64)
+
     t_rx0 = t0 - sync_offset_s
     return Scenario(config=config, receiver_ecef=rx, prns=prns,
                     ephemerides=ephs, tow_count=tow_count, t_rx0=t_rx0,
-                    noise_std=noise_std, amplitude=amplitude)
+                    noise_std=noise_std, amplitude=amplitude,
+                    receiver_vel=vel)
 
 
 def synthesize_scenario(scenario: Scenario, n_ms: int, seed: int = 0) -> np.ndarray:
@@ -289,6 +333,9 @@ def synthesize_scenario(scenario: Scenario, n_ms: int, seed: int = 0) -> np.ndar
     t_bounds = scenario.t_rx0 + 1e-3 * np.arange(n_ms + 1)
 
     delays = np.empty((s, n_ms + 1))
+    # receiver truth positions at each ms boundary's receive time (static:
+    # constant columns; kinematic: the linear trajectory)
+    rx_t = scenario.receiver_ecef_at(t_bounds)
     for i, eph in enumerate(scenario.ephemerides):
         # solve tau_eff(t_rx): receive-time grid -> iterate the satellite's
         # signal-timeline time t_stream (= satellite clock time stamped on
@@ -300,8 +347,7 @@ def synthesize_scenario(scenario: Scenario, n_ms: int, seed: int = 0) -> np.ndar
         for _ in range(3):
             t_stream = t_bounds - tau
             dt_sv = satellite_clock_offset(eph, t_stream)
-            tau = light_times(scenario.receiver_ecef, eph,
-                              t_stream - dt_sv) - dt_sv
+            tau = light_times(rx_t, eph, t_stream - dt_sv) - dt_sv
         delays[i] = tau
 
     if scenario.iono is not None:
@@ -328,7 +374,7 @@ def synthesize_scenario(scenario: Scenario, n_ms: int, seed: int = 0) -> np.ndar
     n_subframes = int(np.ceil((scenario.t_rx0 - scenario.t_bits0 + n_ms / 1000.0) / 6.0)) + 2
     streams = np.stack([
         build_nav_stream(eph, scenario.tow_count - 1, n_subframes,
-                         iono=scenario.iono)
+                         iono=scenario.iono, utc=scenario.utc)
         for eph in scenario.ephemerides
     ]).astype(np.float32)
 

@@ -76,7 +76,7 @@ class FakeTrack:
     pass
 
 
-def build_track(config, rx, ephs, t_rx0):
+def build_track(config, rx, ephs, t_rx0, utc=None):
     """Fabricate TrackResults-like observables for the given geometry.
 
     ``t_rx0``: GPS time at tracked millisecond 0.  For channel i, the nav
@@ -96,7 +96,8 @@ def build_track(config, rx, ephs, t_rx0):
     m = np.arange(N_MS)
 
     for ch, eph in enumerate(ephs):
-        stream = build_nav_stream(eph, TOW_COUNT - 1, n_bits // 300 + 2)
+        stream = build_nav_stream(eph, TOW_COUNT - 1, n_bits // 300 + 2,
+                                  utc=utc)
         tau0 = travel_time(rx, eph, t_rx0)
         # transmit times of the code periods logged at each ms.  A
         # code-locked tracker's period boundaries sit on the satellite's
@@ -265,7 +266,17 @@ class TestPostNavigate:
         assert np.all(np.isnan(sol.el[0, late]))
         assert np.all(np.isnan(sol.raw_p[0, late]))
 
-        sol_off, _ = post_navigate(cfg.with_options(lock_demotion=False), bad)
+        # with demotion off, RAIM is the next line of defense: the 22 km
+        # fault is detected (not isolable at 5 satellites) and the
+        # affected epochs are withheld rather than reported wrong
+        sol_raim, _ = post_navigate(cfg.with_options(lock_demotion=False), bad)
+        assert np.all(sol_raim.raim_flag[late] == 2)
+        assert np.all(np.isnan(sol_raim.x[late]))
+
+        # with BOTH defenses off: the reference's failure mode — the
+        # corrupt channel silently blows the fix up
+        sol_off, _ = post_navigate(
+            cfg.with_options(lock_demotion=False, raim=False), bad)
         err_off = np.sqrt((sol_off.x - rx[0]) ** 2 + (sol_off.y - rx[1]) ** 2
                           + (sol_off.z - rx[2]) ** 2)
         assert np.nanmax(err_off) > 1000.0
