@@ -199,10 +199,14 @@ class ReceiverConfig:
     #: :attr:`resolved_correlator`), 'onehot' (gather-free tiled
     #: contraction — the XLA fast path, see softgnss_tpu.track.tables),
     #: 'pallas' (the same math fused into one Mosaic kernel per ms,
-    #: avoiding the one-hot / baseband HBM round-trips — measured ~45%
-    #: faster than 'onehot' on v5e, see softgnss_tpu.track.pallas_kernel),
-    #: or 'gather' (direct per-sample table lookup, the reference
-    #: formulation — exact but pathologically slow on TPU)
+    #: avoiding the one-hot / baseband HBM round-trips, see
+    #: softgnss_tpu.track.pallas_kernel), 'megakernel' (a whole
+    #: track_block_ms block per Mosaic kernel with loop filters and NCO
+    #: state carried in VMEM scratch — amortizes the per-launch cost that
+    #: dominates the per-ms kernel; measured ~4x 'pallas' on v5e, see
+    #: softgnss_tpu.track.megakernel), or 'gather' (direct per-sample
+    #: table lookup, the reference formulation — exact but pathologically
+    #: slow on TPU)
     correlator_impl: str = "auto"
     #: fused-kernel contraction variant: 'mxu' (code x one-hot batched
     #: matmul, then masked reductions) or 'vpu' (one-hot masked sums)
@@ -294,7 +298,9 @@ class ReceiverConfig:
         int8 capture is consumed through an int16/int32 view (fast batched
         slicing + byte-plane-ordered correlation, see track.scan)."""
         p = self.track_pack_size
-        if (p in (2, 4) and self.correlator_impl in ("auto", "onehot", "pallas")
+        if (p in (2, 4)
+                and self.correlator_impl in ("auto", "onehot", "pallas",
+                                             "megakernel")
                 and self.track_block_ms > 1
                 and self.samples_per_code % p == 0 and self.track_tile % p == 0):
             return p

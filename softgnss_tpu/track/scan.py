@@ -615,9 +615,9 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
     # anchor, so resume grouping is unaffected).
     pack = config.track_pack
     impl = config.resolved_correlator
-    if impl == "pallas" and pack <= 1:
+    if impl in ("pallas", "megakernel") and pack <= 1:
         raise ValueError(
-            "correlator_impl='pallas' consumes the capture through the "
+            f"correlator_impl={impl!r} consumes the capture through the "
             "packed int16/int32 view: need an int8 capture with "
             "samples_per_code and track_tile divisible by track_pack_size "
             f"(track_pack resolved to {pack})")
@@ -626,7 +626,9 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
             raise ValueError(
                 f"track_pack={pack} requires an int8 capture, got {signal.dtype}")
         sig_pack = _packed_view(signal, pack)
-        if impl == "pallas":
+        if impl in ("pallas", "megakernel"):
+            # per-ms fused step: the 'pallas' path, and the megakernel's
+            # fallback when block mode is unavailable (short captures)
             from softgnss_tpu.track.pallas_kernel import hb_span_map
 
             codes_t = jnp.transpose(jnp.asarray(tables.codes_static),
@@ -676,7 +678,34 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
         (final, ovf), ys = jax.lax.scan(ms_step, (state0, zero), None, length=n_ms)
         return final, ys, ovf
 
-    def scan_segment(carry, base, p0: int, r: int):
+    if impl == "megakernel":
+        # whole-segment fused kernel: one pallas_call per (partial) block,
+        # loop filters and NCO digits carried in VMEM scratch
+        from softgnss_tpu.track.megakernel import (mega_tables,
+                                                   mega_track_segment)
+
+        codes_mega, hb_mega = mega_tables(config, tables)
+        spc_pk = spc // pack
+        win_pk = win // pack
+
+        def scan_segment(carry, base, p0: int, r: int):
+            st2, ovf2 = carry
+            buf_len = (r + 1) * spc
+            start = jnp.clip(base + p0 * spc,
+                             0, sig_len // pack * pack - buf_len)
+            start = start // pack * pack
+            buf = jax.vmap(lambda p: jax.lax.dynamic_slice(
+                sig_pack, (p // pack,), (buf_len // pack,)))(start)
+            frames = jnp.stack(
+                [buf[:, i * spc_pk:i * spc_pk + win_pk] for i in range(r)], 0)
+            new, outs, ov = mega_track_segment(
+                config, frames, start, codes_mega, hb_mega, carr_basis,
+                active, st2)
+            return (new, jnp.maximum(ovf2, ov)), outs
+    else:
+        scan_segment = None  # defined below
+
+    def _scan_segment_stepwise(carry, base, p0: int, r: int):
         """Run frames for grid-block milliseconds [p0, p0+r) anchored at
         per-channel ``base`` (the block's ms-0 frame anchor).
 
@@ -711,6 +740,9 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
 
         return jax.lax.scan(inner, carry, jnp.arange(r, dtype=jnp.int64),
                             unroll=min(config.track_unroll, r))
+
+    if scan_segment is None:
+        scan_segment = _scan_segment_stepwise
 
     carry = (state0, zero)
     parts = []

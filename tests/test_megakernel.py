@@ -1,0 +1,142 @@
+"""Multi-ms fused tracking kernel (track.megakernel) — parity + resume.
+
+Off-TPU the kernel runs in Pallas interpret mode (same code path the TPU
+compiles), so these tests exercise the real in-kernel digit arithmetic,
+f32 loop filters, and polynomial atan against the f64 XLA paths.
+"""
+
+import numpy as np
+import pytest
+
+import softgnss_tpu as sg
+from softgnss_tpu.acquire.search import Channels
+from softgnss_tpu.signals.synth import SatelliteSignal, synthesize_signal
+from softgnss_tpu.track import track
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = sg.fast_config(number_of_channels=3, track_block_ms=16)
+    rng = np.random.default_rng(7)
+    params = [(5, 1200.0, 333, 0.4), (11, -2500.0, 1777, 2.1),
+              (20, 400.0, 40, 5.0)]
+    sats = [SatelliteSignal(prn=p, doppler_hz=d, delay_samples=float(s),
+                            phase0=ph,
+                            nav_bits=tuple(rng.choice([-1, 1], size=8)))
+            for p, d, s, ph in params]
+    signal = synthesize_signal(cfg, sats, 100, noise_std=0.8, seed=4)
+    channels = Channels(
+        prn=np.asarray([p for p, *_ in params]),
+        acquired_freq=np.asarray(
+            [cfg.intermediate_freq + d for _, d, _, _ in params]),
+        code_phase=np.asarray([s for _, _, s, _ in params], np.int64),
+        status=["T"] * 3)
+    return cfg, signal, channels
+
+
+class TestMegakernelParity:
+    """Megakernel vs the f64-filter onehot path on the same capture.
+
+    The megakernel's f32 filters + split NCO roundings make it its own
+    numerical lineage (module docstring), so tolerances are physical:
+    correlator sums well under the 1e-3 RMS oracle budget, sample
+    counters exact, frequencies within the u32-NCO quantization scale.
+    """
+
+    def test_tracks_match_f64_path(self, setup):
+        cfg, signal, channels = setup
+        res_oh = track(cfg.with_options(correlator_impl="onehot"),
+                       signal, channels, n_ms=96)
+        res_mk = track(cfg.with_options(correlator_impl="megakernel"),
+                       signal, channels, n_ms=96)
+
+        # sample counters: the pseudorange backbone — bit-exact here
+        np.testing.assert_array_equal(res_mk.absolute_sample,
+                                      res_oh.absolute_sample)
+        for f in ("i_p", "i_e", "i_l", "q_e", "q_p", "q_l"):
+            a = np.asarray(getattr(res_oh, f), np.float64)
+            b = np.asarray(getattr(res_mk, f), np.float64)
+            scale = np.sqrt(np.mean(a**2))
+            assert np.sqrt(np.mean((a - b) ** 2)) / scale < 1e-3, f
+        assert np.max(np.abs(res_mk.carr_freq - res_oh.carr_freq)) < 0.1
+        assert np.max(np.abs(res_mk.code_freq - res_oh.code_freq)) < 0.05
+        assert np.max(np.abs(res_mk.sample_frac - res_oh.sample_frac)) < 1e-3
+
+    def test_pdi_accumulation(self, setup):
+        cfg, signal, channels = setup
+        c2 = cfg.with_options(pdi_ms=2)
+        res_oh = track(c2.with_options(correlator_impl="onehot"),
+                       signal, channels, n_ms=64)
+        res_mk = track(c2.with_options(correlator_impl="megakernel"),
+                       signal, channels, n_ms=64)
+        np.testing.assert_array_equal(res_mk.absolute_sample,
+                                      res_oh.absolute_sample)
+        a, b = res_oh.pll_discr_filt, res_mk.pll_discr_filt
+        assert np.max(np.abs(a - b)) < 1e-3 * max(1.0, np.max(np.abs(a)))
+        # filters hold between the every-K updates (K=2: ms 0 keeps the
+        # initial zero filter state, ms 1 is the first update)
+        assert (res_mk.pll_discr[:, 0] == 0).all()
+        assert not (res_mk.pll_discr[:, 1] == 0).all()
+
+    def test_inactive_channel_frozen(self, setup):
+        cfg, signal, channels = setup
+        ch = Channels(prn=channels.prn.copy(),
+                      acquired_freq=channels.acquired_freq.copy(),
+                      code_phase=channels.code_phase.copy(),
+                      status=["T", "-", "T"])
+        res = track(cfg.with_options(correlator_impl="megakernel"),
+                    signal, ch, n_ms=48)
+        assert (res.i_p[1] == 0).all()
+        assert (res.absolute_sample[1] == 0).all()
+        st = res.final_state
+        assert int(st.ms[1]) == 0
+        assert float(st.carr_nco[1]) == 0.0
+
+
+class TestMegakernelResume:
+    def test_resume_bit_exact(self, setup):
+        """A split run (two track() calls through the saved state) must be
+        bit-identical to the uninterrupted run — state crosses the segment
+        boundary through exact digit/f32 round-trips."""
+        cfg = setup[0].with_options(correlator_impl="megakernel")
+        _, signal, channels = setup
+        full = track(cfg, signal, channels, n_ms=80)
+        first = track(cfg, signal, channels, n_ms=40)
+        second = track(cfg, signal, channels, n_ms=40,
+                       state=first.final_state)
+        for f in ("i_p", "q_p", "absolute_sample", "carr_freq", "code_freq",
+                  "sample_frac", "dll_discr_filt", "pll_discr_filt"):
+            a = np.asarray(getattr(full, f))
+            b = np.concatenate([np.asarray(getattr(first, f)),
+                                np.asarray(getattr(second, f))], axis=1)
+            np.testing.assert_array_equal(a, b, err_msg=f)
+        # split at a non-block-aligned millisecond too (lead-segment path)
+        first = track(cfg, signal, channels, n_ms=37)
+        second = track(cfg, signal, channels, n_ms=43,
+                       state=first.final_state)
+        for f in ("i_p", "absolute_sample"):
+            a = np.asarray(getattr(full, f))
+            b = np.concatenate([np.asarray(getattr(first, f)),
+                                np.asarray(getattr(second, f))], axis=1)
+            np.testing.assert_array_equal(a, b, err_msg=f)
+
+
+class TestMegakernelOracle:
+    def test_oracle_parity(self, setup):
+        """<1e-3 RMS correlator deviation vs the float64 NumPy oracle —
+        the same budget every correlator implementation meets
+        (BASELINE.md north-star)."""
+        from softgnss_tpu.oracle import oracle_track_channel
+
+        cfg, signal, channels = setup
+        res = track(cfg.with_options(correlator_impl="megakernel"),
+                    signal, channels, n_ms=60)
+        orc = oracle_track_channel(
+            cfg, signal, int(channels.prn[0]),
+            float(channels.acquired_freq[0]),
+            int(channels.code_phase[0]), 60)
+        i_p = np.asarray(res.i_p[0], np.float64)
+        scale = np.sqrt(np.mean(orc["i_p"] ** 2))
+        assert np.sqrt(np.mean((i_p - orc["i_p"]) ** 2)) / scale < 1e-3
+        assert np.max(np.abs(np.asarray(res.absolute_sample[0])
+                             - orc["absolute_sample"])) <= 1
