@@ -310,18 +310,19 @@ class ReceiverConfig:
     def resolved_correlator(self) -> str:
         """The correlator implementation actually used by the tracker.
 
-        'auto' picks the fused Pallas kernel on TPU whenever the packed
-        block-mode path it rides on is available (int8 capture consumed
-        through an int16/int32 view — see :attr:`track_pack`), and the
-        XLA one-hot contraction everywhere else (CPU/GPU, where the
-        Mosaic kernel would run interpreted).  Explicit values pass
-        through untouched."""
+        'auto' picks the multi-ms fused megakernel on TPU whenever the
+        packed block-mode path it rides on is available (int8 capture
+        consumed through an int16/int32 view — see :attr:`track_pack`;
+        measured ~1.0 Gsps vs ~0.77 for the per-ms 'pallas' kernel and
+        ~0.5 for 'onehot' on v5e), and the XLA one-hot contraction
+        everywhere else (CPU/GPU, where the Mosaic kernels would run
+        interpreted).  Explicit values pass through untouched."""
         if self.correlator_impl != "auto":
             return self.correlator_impl
         import jax
 
         if jax.default_backend() == "tpu" and self.track_pack > 1:
-            return "pallas"
+            return "megakernel" if self.track_block_ms > 1 else "pallas"
         return "onehot"
 
     @property

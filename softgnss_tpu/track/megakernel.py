@@ -262,7 +262,10 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
     span = k_tiles * tile
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
     bias = jnp.int32(PHASE_BIAS)
-    acc = [jnp.zeros((ci_ref.shape[0], 1), jnp.float32) for _ in range(6)]
+    # six span-wide accumulators, reduced to scalars ONCE at the end of the
+    # ms: per-chunk lane reductions (60/ms) cost more than all the
+    # elementwise tap math combined
+    acc_sp = [None] * 6
     for b in range(pack):
         a_b = _dadd(a0, _dmul_small(s_q, b))         # plane phase base
         for gch in range(t_groups):
@@ -292,23 +295,38 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
             tt = b * t_pp + gch * k_tiles            # first tile of chunk
             hb_lane = jnp.repeat(hb_ref[:, tt:tt + k_tiles], tile, axis=1)
             h_local = hrel - (hb_lane + bias)        # (C, span)
-            in_win = jnp.logical_and(h_local >= 0, h_local < w_oh)
+            # No in-window gate on cv: any sample whose h_local leaves the
+            # table window is masked (raw == 0 -> bb == 0), so cv*bb == 0
+            # for ANY finite cv — the overflow check (mega_track_segment /
+            # _frame_overflow) guarantees unmasked samples stay in
+            # coverage.  Only the shift amount needs clamping.
+            hc0 = jnp.minimum(jnp.maximum(h_local, jnp.int32(0)),
+                              jnp.int32(31))
             for x in range(3):                       # E / P / L taps
-                valbit = jnp.zeros_like(h_local)
-                for u in range(n_words):
+                if n_words == 1:
                     bits_lane = jnp.repeat(
-                        codes_ref[:, x, u, tt:tt + k_tiles], tile, axis=1)
-                    hs = h_local - 32 * u
-                    sel = jnp.logical_and(hs >= 0, hs < 32)
-                    hc = jnp.minimum(jnp.maximum(hs, jnp.int32(0)),
-                                     jnp.int32(31))
-                    valbit = jnp.where(sel, (bits_lane >> hc) & 1, valbit)
-                cv = jnp.where(in_win, (2 * valbit - 1).astype(jnp.float32),
-                               jnp.float32(0.0))
-                acc[x] += jnp.sum(cv * bb_i, axis=1, keepdims=True)
-                acc[3 + x] += jnp.sum(cv * bb_q, axis=1, keepdims=True)
+                        codes_ref[:, x, 0, tt:tt + k_tiles], tile, axis=1)
+                    valbit = (bits_lane >> hc0) & 1
+                else:
+                    valbit = jnp.zeros_like(h_local)
+                    for u in range(n_words):
+                        bits_lane = jnp.repeat(
+                            codes_ref[:, x, u, tt:tt + k_tiles], tile,
+                            axis=1)
+                        hs = h_local - 32 * u
+                        sel = jnp.logical_and(hs >= 0, hs < 32)
+                        hc = jnp.minimum(jnp.maximum(hs, jnp.int32(0)),
+                                         jnp.int32(31))
+                        valbit = jnp.where(sel, (bits_lane >> hc) & 1,
+                                           valbit)
+                cv = (2 * valbit - 1).astype(jnp.float32)
+                ti = cv * bb_i
+                tq = cv * bb_q
+                acc_sp[x] = ti if acc_sp[x] is None else acc_sp[x] + ti
+                acc_sp[3 + x] = (tq if acc_sp[3 + x] is None
+                                 else acc_sp[3 + x] + tq)
 
-    corr = acc
+    corr = [jnp.sum(a, axis=1, keepdims=True) for a in acc_sp]
 
     # --- loop filters + state update + outputs -------------------------------
     ms = sti[:, 6:7]
