@@ -96,6 +96,14 @@ class ReceiverConfig:
     dll_loop_gain: float = 1.0
     #: PLL loop gain (reference: tracking.py:52)
     pll_loop_gain: float = 0.25
+    #: carrier-aided DLL (beyond the reference, which runs the code loop
+    #: unaided, tracking.py:237-249): the code NCO rate follows the PLL's
+    #: carrier Doppler scaled by f_code/f_L1 (1/1540), so the DLL only
+    #: tracks the residual code-carrier divergence and its noise
+    #: bandwidth can drop well below the unaided 2 Hz (e.g. 0.25-0.5 Hz)
+    #: without dynamics lag — standard receiver practice that cuts code
+    #: pseudorange noise by ~sqrt(BW ratio)
+    carrier_aided_dll: bool = False
     #: predetection (coherent) integration time in code periods (ms).
     #: 1 = the reference's hard-coded PDI (tracking.py:42,49).  K > 1
     #: (beyond the reference) accumulates the six correlator sums over K
@@ -142,6 +150,28 @@ class ReceiverConfig:
     raim_sigma_m: float | None = None
     #: floor (m) under the auto-calibrated RAIM sigma
     raim_sigma_floor_m: float = 3.0
+    #: navigation solution filter: 'lsq' = independent per-epoch least
+    #: squares (the reference's scheme, geoFunctions:636-739); 'ekf' = an
+    #: 8-state position/velocity/clock extended Kalman filter across
+    #: epochs (beyond the reference) — smooths code noise, solves through
+    #: epochs with fewer than 4 usable satellites once initialized, and
+    #: adds per-measurement innovation gating.  See nav.ekf; the
+    #: per-epoch LS columns stay available as NavSolutions.lsq_*
+    nav_filter: str = "lsq"
+    #: EKF white-noise acceleration PSD per ECEF axis, m^2/s^3 (raise for
+    #: high-dynamics platforms, lower for static receivers)
+    ekf_accel_psd: float = 2.0
+    #: EKF clock-drift random-walk PSD, m^2/s^3 (TCXO-class default)
+    ekf_clock_psd: float = 1.0
+    #: EKF clock-bias white-noise PSD, m^2/s
+    ekf_clock_bias_psd: float = 0.1
+    #: EKF pseudorange one-sigma, m; None = reuse the RAIM-calibrated
+    #: sigma (raim_sigma_m / auto-calibration)
+    ekf_range_sigma_m: float | None = None
+    #: EKF range-rate (carrier Doppler) one-sigma, m/s
+    ekf_doppler_sigma: float = 0.15
+    #: EKF innovation gate, standard deviations (chi on each scalar update)
+    ekf_gate_sigma: float = 6.0
 
     # --- lock monitoring (beyond the reference: tracking.py:253-275 logs
     # --- the observables but never reacts to lock loss) -----------------------

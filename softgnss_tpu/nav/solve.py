@@ -123,6 +123,18 @@ class NavSolutions:
     #: full GPS week number of the decoded ephemerides (reference decodes
     #: the 10-bit week + 1024 but never exposes it in navSolutions)
     week_number: int | None = None
+    #: which filter produced the primary columns: 'lsq' (reference-parity
+    #: per-epoch least squares) or 'ekf' (nav.ekf PV+clock filter)
+    nav_filter: str = "lsq"
+    #: with nav_filter='ekf': the per-epoch least-squares solution kept
+    #: for comparison — (x, y, z, dt) arrays of shape (E,)
+    lsq_x: np.ndarray | None = None
+    lsq_y: np.ndarray | None = None
+    lsq_z: np.ndarray | None = None
+    lsq_dt: np.ndarray | None = None
+    #: with nav_filter='ekf': (E,) accepted pseudorange updates per epoch
+    #: (innovation-gated; < 4 means the filter bridged the epoch)
+    ekf_used: np.ndarray | None = None
 
     def utc_offset_s(self, epoch: int = 0) -> float | None:
         """GPS-minus-UTC offset (s) at a measurement epoch, from the
@@ -170,7 +182,7 @@ def calculate_pseudoranges(config: ReceiverConfig, absolute_sample: np.ndarray,
 @partial(jax.jit, static_argnums=(0, 1))
 def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
                 travel_time, transmit_times, doppler_meas, lock_ok,
-                iono8=None, raim_sigma=np.inf):
+                iono8=None, raim_sigma=np.inf, ekf_sigma=5.0):
     """Scan over measurement epochs.
 
     packed_eph: (C, F); base_mask: (C,) bool; travel_time: (C, E) ms units;
@@ -180,14 +192,27 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
     Klobuchar coefficients (subframe 4 page 18) applied inside the solve;
     raim_sigma: one-sigma pseudorange error (m) for the RAIM fault test —
     jnp.inf disables detection (used for the sigma-calibration pass, which
-    reuses this same compiled program).
+    reuses this same compiled program); ekf_sigma: pseudorange one-sigma
+    (m) of the EKF measurement model (used when config.nav_filter='ekf').
     """
     elev_mask = config.elevation_mask_deg
     c_light = config.speed_of_light
     lam = c_light / config.l1_freq
+    use_ekf = config.nav_filter == "ekf"
+    # the EKF needs a CONTINUOUS common travel anchor across epochs: the
+    # LS path re-floors per epoch (removing the ~period-per-epoch common
+    # receive-time advance AND stepping by whole ms as the minimum travel
+    # crosses integers — fatal for a filter modeling clock bias as
+    # continuous).  Anchor at the first epoch's floor plus the nominal
+    # per-epoch advance; residual receiver clock drift stays in cdt.
+    n_ep = travel_time.shape[1]
+    anchors = (jnp.floor(jnp.min(jnp.where(
+        base_mask, travel_time[:, 0], jnp.inf)))
+        + config.nav_sol_period_ms * jnp.arange(n_ep, dtype=jnp.float64))
 
-    def step(sat_elev, inputs):
-        travel, t_tx, doppler, locked = inputs
+    def step(carry, inputs):
+        sat_elev, ekf_state = carry
+        travel, t_tx, doppler, locked, anchor = inputs
         mask = base_mask & locked & (sat_elev >= elev_mask)
 
         # pseudoranges: masked min (reference postNavigation.py:52-71)
@@ -283,6 +308,29 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
         el_out = jnp.where(ok & mask_eff, el, nan)
         az_out = jnp.where(ok & mask_eff, az, nan)
         corrected = jnp.where(mask_eff, raw_p + clk * c_light + pos[3], nan)
+
+        # --- EKF navigation filter (config.nav_filter='ekf'; nav.ekf) ------
+        if use_ekf:
+            from softgnss_tpu.nav.ekf import ekf_epoch
+
+            pr_f = ((travel - anchor + config.start_offset_ms)
+                    * c_light / 1000.0 + clk * c_light)
+            rr_f = -lam * doppler + c_light * clk_drift
+            ekf_state, (e_pos, e_vel, e_cdt, e_cddt, e_used) = ekf_epoch(
+                ekf_state, sat_pos, sat_vel, pr_f, rr_f, mask_eff,
+                use_trop, iono_tow,
+                t_step=config.nav_sol_period_ms / 1000.0,
+                q_accel=config.ekf_accel_psd, q_clock=config.ekf_clock_psd,
+                q_bias=config.ekf_clock_bias_psd,
+                r_pr=ekf_sigma, r_rr=config.ekf_doppler_sigma,
+                gate=config.ekf_gate_sigma, ls_pos=pos, ls_ok=ok,
+                ls_vel=vel4)
+            ekf_out = jnp.concatenate(
+                [e_pos, e_vel, jnp.stack([e_cdt, e_cddt]),
+                 e_used.astype(jnp.float64)[None]])
+        else:
+            ekf_out = jnp.zeros(9, jnp.float64)
+
         lat, lon, hgt = cart2geo(pos[0], pos[1], pos[2], 4)
 
         # carry: after a successful solve, masked-out satellites get NaN
@@ -297,13 +345,16 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
         new_elev = jnp.where(ok, jnp.where(mask, el, nan), sat_elev)
         outs = (pos, dop, el_out, az_out,
                 jnp.where(mask_eff, raw_p, nan), corrected,
-                lat, lon, hgt, vel4, raim_flag, excl_ch, sse_raw, n_used)
-        return new_elev, outs
+                lat, lon, hgt, vel4, raim_flag, excl_ch, sse_raw, n_used,
+                ekf_out)
+        return (new_elev, ekf_state), outs
+
+    from softgnss_tpu.nav.ekf import initial_ekf_state
 
     init_elev = jnp.full(base_mask.shape, jnp.inf)
-    _, outs = jax.lax.scan(step, init_elev,
+    _, outs = jax.lax.scan(step, (init_elev, initial_ekf_state()),
                            (travel_time.T, transmit_times, doppler_meas.T,
-                            lock_ok.T))
+                            lock_ok.T, anchors))
     return outs
 
 
@@ -544,9 +595,42 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
                 raim_sigma = max(float(sigma_est), config.raim_sigma_floor_m)
                 logger.info("RAIM sigma auto-calibrated: %.2f m over %d "
                             "epochs.", raim_sigma, int(sel.sum()))
-        outs = _epoch_scan(config, use_trop, *scan_args, raim_sigma)
+        ekf_sigma = (float(config.ekf_range_sigma_m)
+                     if config.ekf_range_sigma_m is not None
+                     else (raim_sigma if np.isfinite(raim_sigma)
+                           else config.raim_sigma_floor_m))
+        outs = _epoch_scan(config, use_trop, *scan_args, raim_sigma,
+                           ekf_sigma)
         (pos, dop, el, az, raw_p, corrected, lat, lon, hgt, vel4,
-         raim_flag, raim_excl_ch, _sse, _n_used) = map(np.asarray, outs)
+         raim_flag, raim_excl_ch, _sse, _n_used, ekf_out) = map(
+            np.asarray, outs)
+
+        # --- EKF as the primary solution (config.nav_filter='ekf') ---------
+        # the per-epoch LS columns are preserved as lsq_*; positions /
+        # velocities / geodetic+UTM columns come from the filter
+        lsq_cols = None
+        ekf_used = None
+        if config.nav_filter == "ekf":
+            lsq_cols = (pos[:, 0].copy(), pos[:, 1].copy(),
+                        pos[:, 2].copy(), pos[:, 3].copy())
+            ekf_used = ekf_out[:, 8].astype(np.int64)
+            pos = np.concatenate([ekf_out[:, 0:3], ekf_out[:, 6:7]], axis=1)
+            vel4 = np.concatenate([ekf_out[:, 3:6], ekf_out[:, 7:8]], axis=1)
+            fin = np.isfinite(pos[:, 0])
+            lat = np.full(n_epochs, np.nan)
+            lon = np.full(n_epochs, np.nan)
+            hgt = np.full(n_epochs, np.nan)
+            if fin.any():
+                la, lo, hg = cart2geo(jnp.asarray(pos[fin, 0]),
+                                      jnp.asarray(pos[fin, 1]),
+                                      jnp.asarray(pos[fin, 2]), 4)
+                lat[fin], lon[fin], hgt[fin] = (np.asarray(la),
+                                                np.asarray(lo),
+                                                np.asarray(hg))
+            n_bridge = int(np.sum(fin & (_n_used <= 3)))
+            if n_bridge:
+                logger.info("EKF bridged %d epoch(s) with fewer than 4 "
+                            "usable satellites.", n_bridge)
 
         # --- UTM conversion (zone fixed from the first valid fix) ----------
         valid = np.isfinite(lat)
@@ -588,5 +672,11 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
         utc_params=utc_params,
         week_number=(int(ephs[int(active[0])].week_number)
                      if ephs[int(active[0])].week_number is not None else None),
+        nav_filter=config.nav_filter,
+        lsq_x=None if lsq_cols is None else lsq_cols[0],
+        lsq_y=None if lsq_cols is None else lsq_cols[1],
+        lsq_z=None if lsq_cols is None else lsq_cols[2],
+        lsq_dt=None if lsq_cols is None else lsq_cols[3],
+        ekf_used=ekf_used,
     )
     return solutions, eph_by_prn

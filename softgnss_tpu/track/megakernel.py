@@ -213,7 +213,14 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
     # --- per-ms prologue: NCO steps and exact block length ------------------
     code_nco = stf[:, 0:1]
     carr_nco = stf[:, 2:3]
-    delta_c = _round_f32_to_i32(-code_nco * jnp.float32(k1), 2.0**30)
+    aid_hz = jnp.float32(0.0)
+    if config.carrier_aided_dll:
+        # stf lane 10 carries the static per-channel ratio*(acquired-IF)
+        # Doppler part; the dynamic part rides carr_nco (config docstring)
+        ratio = jnp.float32(config.code_freq_basis / config.l1_freq)
+        aid_hz = stf[:, 10:11] + ratio * carr_nco
+    delta_c = _round_f32_to_i32((aid_hz - code_nco) * jnp.float32(k1),
+                                2.0**30)
     step = _dnorm([sb[0] + delta_c, sb[1] + delta_c * 0,
                    sb[2] + delta_c * 0, sb[3] + delta_c * 0])
     w_carr = ci_ref[:, 0:1] + _round_f32_to_i32(
@@ -496,12 +503,15 @@ def mega_track_segment(config: ReceiverConfig, frames, fb0, codes_t, hb,
         axis=1)
 
     z32 = jnp.zeros_like(o0, dtype=jnp.float32)
+    ratio = config.code_freq_basis / config.l1_freq
+    aid0 = (ratio * (carr_basis - config.intermediate_freq)).astype(
+        jnp.float32)                       # static Doppler part of aiding
     state_f = jnp.stack(
         [st.code_nco.astype(jnp.float32), st.code_err.astype(jnp.float32),
          st.carr_nco.astype(jnp.float32), st.carr_err.astype(jnp.float32)]
         + [getattr(st, f) for f in
            ("acc_i_e", "acc_i_p", "acc_i_l", "acc_q_e", "acc_q_p", "acc_q_l")]
-        + [z32] * 6, axis=1)
+        + [aid0] + [z32] * 5, axis=1)
     rem_d = _digits_i64(st.code_rem_q)
     state_i = jnp.concatenate(
         [o0[:, None], st.carr_phase[:, None], rem_d,
@@ -520,11 +530,19 @@ def mega_track_segment(config: ReceiverConfig, frames, fb0, codes_t, hb,
     basis = jnp.float64(config.code_freq_basis)
     code_nco = ysf[:, :, 7].astype(jnp.float64)
     carr_nco = ysf[:, :, 9].astype(jnp.float64)
+    if config.carrier_aided_dll:
+        aid_series = aid0.astype(jnp.float64)[None, :] + ratio * carr_nco
+        aid_final = (aid0.astype(jnp.float64)
+                     + ratio * sfo[:, 2].astype(jnp.float64))
+    else:
+        aid_series = jnp.float64(0.0)
+        aid_final = jnp.float64(0.0)
     zf = jnp.float64(0.0)
     outs = MsOutputs(
         absolute_sample=jnp.where(active[None, :], ptr_series, jnp.int64(0)),
         sample_frac=ysf[:, :, 10].astype(jnp.float64),
-        code_freq=jnp.where(active[None, :], basis - code_nco, zf),
+        code_freq=jnp.where(active[None, :],
+                            basis - code_nco + aid_series, zf),
         carr_freq=jnp.where(active[None, :],
                             carr_basis[None, :] + carr_nco, zf),
         i_p=ysf[:, :, 1], i_e=ysf[:, :, 0], i_l=ysf[:, :, 2],
@@ -541,8 +559,8 @@ def mega_track_segment(config: ReceiverConfig, frames, fb0, codes_t, hb,
         code_rem_q=_i64_from_digits(sio[:, 2:6]),
         carr_freq=jnp.where(active, carr_basis
                             + sfo[:, 2].astype(jnp.float64), st.carr_freq),
-        code_freq=jnp.where(active, basis
-                            - sfo[:, 0].astype(jnp.float64), st.code_freq),
+        code_freq=jnp.where(active, basis - sfo[:, 0].astype(jnp.float64)
+                            + aid_final, st.code_freq),
         carr_nco=jnp.where(active, sfo[:, 2].astype(jnp.float64), st.carr_nco),
         carr_err=jnp.where(active, sfo[:, 3].astype(jnp.float64), st.carr_err),
         code_nco=jnp.where(active, sfo[:, 0].astype(jnp.float64), st.code_nco),

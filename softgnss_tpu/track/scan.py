@@ -472,6 +472,11 @@ def _filters_and_outputs(config: ReceiverConfig, carr_basis, active, st,
     code_err = jnp.where(e_mag + l_mag > 0, (e_mag - l_mag) / denom, 0.0)
     code_nco = st.code_nco + tau2d / tau1d * (code_err - st.code_err) + code_err * (pdi / tau1d)
     code_freq = config.code_freq_basis - code_nco
+    if config.carrier_aided_dll:
+        # code rate rides the carrier Doppler scaled by f_code/f_L1; the
+        # DLL corrects only the residual divergence (config docstring)
+        code_freq = code_freq + (config.code_freq_basis / config.l1_freq) * (
+            carr_freq - config.intermediate_freq)
 
     if K > 1:
         # hold filters/frequencies between the every-K-periods updates;
