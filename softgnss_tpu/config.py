@@ -96,6 +96,16 @@ class ReceiverConfig:
     dll_loop_gain: float = 1.0
     #: PLL loop gain (reference: tracking.py:52)
     pll_loop_gain: float = 0.25
+    #: FLL-assisted PLL (beyond the reference's pure Costas PLL,
+    #: tracking.py:221-235): noise bandwidth (Hz) of a first-order
+    #: frequency-locked-loop assist on the carrier NCO, driven by the
+    #: bit-insensitive cross/dot discriminator over consecutive prompt
+    #: sums — pulls in residual acquisition frequency errors far beyond
+    #: the PLL's own lock-in range (~tens of Hz at the default 25 Hz
+    #: bandwidth; false-lock-prone beyond).  Unambiguous pull-in range is
+    #: +-1/(4*pdi_s) Hz (+-250 Hz at 1 ms PDI, halving per PDI doubling).
+    #: 0 = off (reference behavior)
+    fll_bandwidth_hz: float = 0.0
     #: carrier-aided DLL (beyond the reference, which runs the code loop
     #: unaided, tracking.py:237-249): the code NCO rate follows the PLL's
     #: carrier Doppler scaled by f_code/f_L1 (1/1540), so the DLL only

@@ -34,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from softgnss_tpu.acquire.search import Channels
 from softgnss_tpu.config import ReceiverConfig
 from softgnss_tpu.track.scan import (
-    _ACC_FIELDS,
+    _F32_FIELDS,
     MsOutputs,
     TrackResults,
     TrackState,
@@ -195,7 +195,7 @@ def propagate_state(config: ReceiverConfig, channels: Channels,
         code_err=jnp.zeros(c, jnp.float64),
         ms=jnp.full(c, start_ms, jnp.int64),
         block_base=jnp.asarray(ptr - config.track_frame_pre, jnp.int64),
-        **{f: jnp.zeros(c, jnp.float32) for f in _ACC_FIELDS},
+        **{f: jnp.zeros(c, jnp.float32) for f in _F32_FIELDS},
     )
 
 

@@ -352,6 +352,18 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
     carr_nco_n = (stf[:, 2:3]
                   + jnp.float32(tau2c / tau1c) * (carr_err - stf[:, 3:4])
                   + carr_err * jnp.float32(pdi / tau1c))
+    if config.fll_bandwidth_hz > 0:
+        # FLL assist: bit-insensitive cross/dot over consecutive prompt
+        # sums (stf lanes 11/12 carry the previous update's I_P/Q_P)
+        ip_prev = stf[:, 11:12]
+        qp_prev = stf[:, 12:13]
+        cross = ip_prev * a_qp - qp_prev * a_ip
+        dot = ip_prev * a_ip + qp_prev * a_qp
+        safe_dot = jnp.where(dot != 0, dot, jnp.float32(1.0))
+        ferr = jnp.where(dot != 0, _atan_poly(cross / safe_dot),
+                         jnp.float32(0.0)) / jnp.float32(2.0 * np.pi * pdi)
+        carr_nco_n = carr_nco_n + jnp.float32(
+            4.0 * config.fll_bandwidth_hz * pdi) * ferr
     # DLL (reference tracking.py:237-251)
     e_mag = jnp.sqrt(a_ie * a_ie + a_qe * a_qe)
     l_mag = jnp.sqrt(a_il * a_il + a_ql * a_ql)
@@ -368,8 +380,11 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
         code_err = jnp.where(upd, code_err, stf[:, 1:2])
         code_nco_n = jnp.where(upd, code_nco_n, stf[:, 0:1])
         acc_new = [jnp.where(upd, jnp.float32(0.0), a) for a in acc6]
+        fll_new = (jnp.where(upd, a_ip, stf[:, 11:12]),
+                   jnp.where(upd, a_qp, stf[:, 12:13]))
     else:
         acc_new = [stf[:, 4 + i:5 + i] for i in range(6)]
+        fll_new = (a_ip, a_qp)
 
     frac = _dfloat(rem_new) / _dfloat(step)
 
@@ -396,6 +411,8 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
     for i in range(6):
         stf[:, 4 + i:5 + i] = jnp.where(active, acc_new[i],
                                         stf[:, 4 + i:5 + i])
+    stf[:, 11:12] = jnp.where(active, fll_new[0], stf[:, 11:12])
+    stf[:, 12:13] = jnp.where(active, fll_new[1], stf[:, 12:13])
     sti[:, 0:1] = jnp.where(active, o + blk - spc, sti[:, 0:1])
     sti[:, 1:2] = jnp.where(active, sti[:, 1:2] + w_carr * blk, sti[:, 1:2])
     for i in range(_ND):
@@ -511,7 +528,7 @@ def mega_track_segment(config: ReceiverConfig, frames, fb0, codes_t, hb,
          st.carr_nco.astype(jnp.float32), st.carr_err.astype(jnp.float32)]
         + [getattr(st, f) for f in
            ("acc_i_e", "acc_i_p", "acc_i_l", "acc_q_e", "acc_q_p", "acc_q_l")]
-        + [aid0] + [z32] * 5, axis=1)
+        + [aid0, st.fll_ip, st.fll_qp] + [z32] * 3, axis=1)
     rem_d = _digits_i64(st.code_rem_q)
     state_i = jnp.concatenate(
         [o0[:, None], st.carr_phase[:, None], rem_d,
@@ -569,6 +586,7 @@ def mega_track_segment(config: ReceiverConfig, frames, fb0, codes_t, hb,
         block_base=st.block_base,
         acc_i_e=sfo[:, 4], acc_i_p=sfo[:, 5], acc_i_l=sfo[:, 6],
         acc_q_e=sfo[:, 7], acc_q_p=sfo[:, 8], acc_q_l=sfo[:, 9],
+        fll_ip=sfo[:, 11], fll_qp=sfo[:, 12],
     )
     return new, outs, ovf
 

@@ -85,11 +85,17 @@ class TrackState(NamedTuple):
     acc_q_e: jnp.ndarray
     acc_q_p: jnp.ndarray
     acc_q_l: jnp.ndarray
+    #: f32: previous update's prompt sums, the FLL discriminator memory
+    #: (zero when config.fll_bandwidth_hz == 0 — pure-PLL reference mode)
+    fll_ip: jnp.ndarray
+    fll_qp: jnp.ndarray
 
 
 #: the six coherent-accumulator leaves of TrackState, in corr-tuple order
 _ACC_FIELDS = ("acc_i_e", "acc_i_p", "acc_i_l",
                "acc_q_e", "acc_q_p", "acc_q_l")
+#: all float32 zero-initialized state leaves
+_F32_FIELDS = _ACC_FIELDS + ("fll_ip", "fll_qp")
 
 
 class MsOutputs(NamedTuple):
@@ -168,7 +174,7 @@ def initial_state(config: ReceiverConfig, channels: Channels) -> TrackState:
         code_err=jnp.zeros(c, jnp.float64),
         ms=jnp.zeros(c, jnp.int64),
         block_base=ptr - config.track_frame_pre,
-        **{f: jnp.zeros(c, jnp.float32) for f in _ACC_FIELDS},
+        **{f: jnp.zeros(c, jnp.float32) for f in _F32_FIELDS},
     )
 
 
@@ -463,6 +469,18 @@ def _filters_and_outputs(config: ReceiverConfig, carr_basis, active, st,
     safe_ip = jnp.where(i_p64 != 0, i_p64, 1.0)
     carr_err = jnp.where(i_p64 != 0, jnp.arctan(q_p64 / safe_ip), 0.0) / (2.0 * jnp.pi)
     carr_nco = st.carr_nco + tau2c / tau1c * (carr_err - st.carr_err) + carr_err * (pdi / tau1c)
+    if config.fll_bandwidth_hz > 0:
+        # FLL assist (config docstring): cross/dot over consecutive prompt
+        # sums; atan (not atan2) so nav-bit flips cancel.  First-order
+        # loop: wn = 4*Bn
+        ip_prev = st.fll_ip.astype(jnp.float64)
+        qp_prev = st.fll_qp.astype(jnp.float64)
+        cross = ip_prev * q_p64 - qp_prev * i_p64
+        dot = ip_prev * i_p64 + qp_prev * q_p64
+        safe_dot = jnp.where(dot != 0, dot, 1.0)
+        ferr = jnp.where(dot != 0, jnp.arctan(cross / safe_dot),
+                         0.0) / (2.0 * jnp.pi * pdi)
+        carr_nco = carr_nco + (4.0 * config.fll_bandwidth_hz) * pdi * ferr
     carr_freq = carr_basis + carr_nco
 
     # --- DLL (reference: tracking.py:237-251) -------------------------------
@@ -490,8 +508,12 @@ def _filters_and_outputs(config: ReceiverConfig, carr_basis, active, st,
         z32 = jnp.float32(0.0)
         accs = {f: jnp.where(upd, z32, a)
                 for f, a in zip(_ACC_FIELDS, (a_ie, a_ip, a_il, a_qe, a_qp, a_ql))}
+        accs["fll_ip"] = jnp.where(upd, a_ip, st.fll_ip)
+        accs["fll_qp"] = jnp.where(upd, a_qp, st.fll_qp)
     else:
         accs = {f: getattr(st, f) for f in _ACC_FIELDS}
+        accs["fll_ip"] = a_ip
+        accs["fll_qp"] = a_qp
 
     # --- state update (frozen when inactive) --------------------------------
     new = TrackState(
