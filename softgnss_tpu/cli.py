@@ -122,7 +122,8 @@ def main(argv=None) -> int:
 
     if args.probe_only:
         if signal is None:
-            signal = sio.read_if_samples(args.file or config.file_name, config)
+            signal, config = sio.load_capture(
+                args.file or config.file_name, config)
         stats = sio.probe_data(config, signal[config.skip_samples:])
         print(f"Probed {stats['n_samples']} samples: mean {stats['mean']:.3f}, "
               f"std {stats['std']:.2f}, clipped {100 * stats['clipped_fraction']:.2f}%")

@@ -15,6 +15,13 @@ Sample encodings (config.data_format):
 * ``int2``  - four samples per byte, LSB-first pairs, sign-magnitude
               mapping {00,01,10,11} -> {+1,+3,-1,-3}
 * ``int1``  - eight samples per byte, LSB first, {0,1} -> {+1,-1}
+* ``iq8`` / ``iq16`` - interleaved complex I/Q pairs (int8 / int16),
+              the common SDR front-end output.  Load these through
+              :func:`load_capture`: the capture is digitally upconverted
+              to a REAL stream at fs/4 above the recorded center
+              (exact sign-flip/interleave picks — see
+              :func:`upconvert_iq`) so the whole real-IF engine applies
+              unchanged.
 """
 
 from __future__ import annotations
@@ -89,6 +96,75 @@ def read_if_samples(path: str, config: ReceiverConfig,
 def write_if_samples(path: str, samples: np.ndarray) -> None:
     """Write int8 samples to disk (round-trips with data_format='int8')."""
     np.asarray(samples, np.int8).tofile(path)
+
+
+def upconvert_iq(config: ReceiverConfig, i_samples: np.ndarray,
+                 q_samples: np.ndarray):
+    """Digitally upconvert a complex I/Q capture to a real IF stream.
+
+    real[k] = I[k] cos(2 pi (fs/4) k/fs) - Q[k] sin(...) with the fs/4
+    carrier, whose samples are exactly {1, 0, -1, 0} / {0, 1, 0, -1}:
+    the output is the pick pattern [I0, -Q1, -I2, Q3, ...] — int8 in,
+    int8 out, no arithmetic, no SNR loss (the real signal is the exact
+    real part of the analytic signal).  The effective receiver
+    configuration has ``intermediate_freq`` shifted up by fs/4.
+
+    Constraint: the band of interest must fit below fs/2 after the
+    shift, i.e. |complex center offset| + signal bandwidth/2 < fs/4 —
+    critically-sampled complex captures (bandwidth ~ fs) must be
+    resampled first.  Returns (real_int8, shifted_config).
+
+    Beyond the reference, whose loader reads one real int8 stream only
+    (initialize.py:102, np.fromfile int8).
+    """
+    i8 = np.asarray(i_samples, np.int8)
+    q8 = np.asarray(q_samples, np.int8)
+    n = min(len(i8), len(q8)) // 4 * 4
+    out = np.empty(n, np.int8)
+    out[0::4] = i8[0:n:4]
+    out[1::4] = -np.maximum(q8[1:n:4], -127)      # avoid -(-128) overflow
+    out[2::4] = -np.maximum(i8[2:n:4], -127)
+    out[3::4] = q8[3:n:4]
+    cfg2 = config.with_options(
+        intermediate_freq=config.intermediate_freq
+        + config.sampling_freq / 4.0)
+    return out, cfg2
+
+
+def load_capture(path: str, config: ReceiverConfig,
+                 count: int | None = None, offset_samples: int = 0):
+    """Read a capture of any supported format; returns (signal, config).
+
+    For the real formats this is :func:`read_if_samples` with the config
+    passed through.  For ``iq8``/``iq16`` the interleaved complex pairs
+    are read and upconverted to a real stream at fs/4 above the recorded
+    center (:func:`upconvert_iq`); the returned config carries the
+    shifted ``intermediate_freq`` and ``data_format='int8'`` and must be
+    used for all downstream processing.
+    """
+    fmt = config.data_format
+    if fmt not in ("iq8", "iq16"):
+        return read_if_samples(path, config, count, offset_samples), config
+    dt = np.int8 if fmt == "iq8" else np.int16
+    raw = np.memmap(path, dt, "r",
+                    offset=2 * dt().itemsize * offset_samples)
+    if count is not None:
+        raw = raw[:2 * count]
+    raw = np.asarray(raw[: len(raw) // 2 * 2]).reshape(-1, 2)
+    if fmt == "iq16":
+        from softgnss_tpu import native
+
+        def narrow(x):
+            fast = native.narrow_int16(np.ascontiguousarray(x))
+            if fast is not None:
+                return fast
+            return np.clip(np.asarray(x) >> 8, -128, 127).astype(np.int8)
+
+        i8, q8 = narrow(raw[:, 0]), narrow(raw[:, 1])
+    else:
+        i8, q8 = raw[:, 0].astype(np.int8), raw[:, 1].astype(np.int8)
+    signal, cfg2 = upconvert_iq(config, i8, q8)
+    return signal, cfg2.with_options(data_format="int8")
 
 
 def probe_data(config: ReceiverConfig, signal: np.ndarray,

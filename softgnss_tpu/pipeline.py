@@ -244,7 +244,12 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
         if not (file_name or config.file_name):
             raise ValueError("provide signal= or file_name=")
         t0 = time.monotonic()
-        signal = sio.read_if_samples(file_name or config.file_name, config)
+        # complex I/Q formats come back upconverted to a real stream with
+        # the IF shifted by fs/4 (sio.load_capture) — the adjusted config
+        # governs everything downstream
+        signal, config = sio.load_capture(file_name or config.file_name,
+                                          config)
+        results.config = config
         results.timings_s["read"] = time.monotonic() - t0
     signal = np.asarray(signal)
 

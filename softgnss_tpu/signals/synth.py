@@ -275,6 +275,32 @@ def synthesize_signal(config: ReceiverConfig, sats: list[SatelliteSignal],
                       n_ms, noise_std, seed)
 
 
+def synthesize_iq(config: ReceiverConfig, sats: list[SatelliteSignal],
+                  n_ms: int, noise_std: float = 0.0,
+                  seed: int = 0) -> np.ndarray:
+    """Generate a complex baseband I/Q capture — (N, 2) int8 [I, Q] pairs.
+
+    ``config.intermediate_freq`` is the recorded complex center offset
+    (0 for a zero-IF SDR front end); each satellite appears at
+    ``intermediate_freq + doppler_hz`` in the complex spectrum.  The
+    quadrature component is the same synthesis with the carrier phase
+    retarded by pi/2 and independent noise, so
+    ``I + jQ = A c(t) exp(j(2 pi f t + phase0 - pi/2))`` — digitally
+    upconverting with :func:`softgnss_tpu.io.upconvert_iq` reproduces
+    exactly the real capture :func:`synthesize_signal` would emit at
+    ``intermediate_freq + fs/4``.  Test backend for the iq8/iq16 front
+    ends (the reference has no complex support at all).
+    """
+    import dataclasses
+
+    sats_q = [dataclasses.replace(s, phase0=s.phase0 - np.pi / 2.0)
+              for s in sats]
+    i = synthesize_signal(config, sats, n_ms, noise_std=noise_std, seed=seed)
+    q = synthesize_signal(config, sats_q, n_ms, noise_std=noise_std,
+                          seed=seed + 0x5EED)
+    return np.stack([i, q], axis=1)
+
+
 def synthesize_dynamic(config: ReceiverConfig, prns: list[int],
                        delays_s: np.ndarray, bit_streams: np.ndarray,
                        t_rx0_minus_bits0: float, n_ms: int,
