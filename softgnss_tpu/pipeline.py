@@ -77,8 +77,14 @@ class ReceiverResults:
         if self.solutions is not None:
             ok = np.isfinite(self.solutions.latitude)
             if ok.any():
+                tag = (" (EKF)" if getattr(self.solutions, "nav_filter", "lsq")
+                       == "ekf" else "")
+                bridged = getattr(self.solutions, "ekf_used", None)
+                if bridged is not None and (bridged[ok] < 4).any():
+                    tag += (f", {int((bridged[ok] < 4).sum())} epochs bridged"
+                            " with < 4 satellites")
                 lines.append(
-                    f"PVT: {int(ok.sum())}/{self.solutions.n_epochs} fixes, mean "
+                    f"PVT{tag}: {int(ok.sum())}/{self.solutions.n_epochs} fixes, mean "
                     f"lat {np.nanmean(self.solutions.latitude):.6f} deg, "
                     f"lon {np.nanmean(self.solutions.longitude):.6f} deg, "
                     f"hgt {np.nanmean(self.solutions.height):.1f} m, "

@@ -195,6 +195,10 @@ class Scenario:
     #: scenario — the reference and its recordings are static-only);
     #: truth position at GPS time t is ``receiver_ecef_at(t)``
     receiver_vel: np.ndarray = field(default=None, repr=False)
+    #: optional (3,) constant receiver ECEF acceleration, m/s^2 — a
+    #: high-dynamics scenario; the synthesized delays follow the
+    #: quadratic trajectory (Doppler sweeps through the capture)
+    receiver_accel: np.ndarray = field(default=None, repr=False)
     delays: np.ndarray = field(default=None, repr=False)     # (S, n_ms+1) s
     dopplers: np.ndarray = field(default=None, repr=False)   # (S,) Hz at t_rx0
 
@@ -209,10 +213,28 @@ class Scenario:
         rx = np.asarray(self.receiver_ecef, np.float64)
         if t.ndim:
             rx = np.broadcast_to(rx[:, None], (3,) + t.shape).copy()
-        if self.receiver_vel is None:
-            return rx
-        return rx + np.multiply.outer(np.asarray(self.receiver_vel, np.float64),
-                                      t - self.t_rx0).reshape(rx.shape)
+        dt = t - self.t_rx0
+        if self.receiver_vel is not None:
+            rx = rx + np.multiply.outer(
+                np.asarray(self.receiver_vel, np.float64), dt).reshape(rx.shape)
+        if self.receiver_accel is not None:
+            rx = rx + np.multiply.outer(
+                np.asarray(self.receiver_accel, np.float64),
+                0.5 * dt * dt).reshape(rx.shape)
+        return rx
+
+    def receiver_vel_at(self, t) -> np.ndarray:
+        """Truth receiver velocity at GPS receive time(s) t: (3,) or (3, T)."""
+        t = np.asarray(t, np.float64)
+        v = np.zeros(3) if self.receiver_vel is None else np.asarray(
+            self.receiver_vel, np.float64)
+        if t.ndim:
+            v = np.broadcast_to(v[:, None], (3,) + t.shape).copy()
+        if self.receiver_accel is None:
+            return v
+        return v + np.multiply.outer(
+            np.asarray(self.receiver_accel, np.float64),
+            t - self.t_rx0).reshape(v.shape)
 
     def expected_code_phase(self, i: int) -> float:
         """Acquisition code phase (samples) of satellite i at capture start."""
@@ -234,6 +256,7 @@ def build_scenario(config: ReceiverConfig, n_sats: int = 5,
                    sync_offset_s: float = 0.35,
                    full_model: bool = False,
                    velocity_enu: tuple[float, float, float] | None = None,
+                   accel_enu: tuple[float, float, float] | None = None,
                    ) -> Scenario:
     """Construct a consistent scenario with n_sats visible satellites.
 
@@ -305,21 +328,24 @@ def build_scenario(config: ReceiverConfig, n_sats: int = 5,
     if len(ephs) < n_sats:
         raise RuntimeError("scenario generation failed to place satellites")
 
-    vel = None
-    if velocity_enu is not None:
+    vel = accel = None
+    if velocity_enu is not None or accel_enu is not None:
         lam, phi = np.deg2rad(longitude), np.deg2rad(latitude)
         enu = np.array([
             [-np.sin(lam), -np.sin(phi) * np.cos(lam), np.cos(phi) * np.cos(lam)],
             [np.cos(lam), -np.sin(phi) * np.sin(lam), np.cos(phi) * np.sin(lam)],
             [0.0, np.cos(phi), np.sin(phi)],
         ])                                  # columns: e_hat, n_hat, u_hat
-        vel = enu @ np.asarray(velocity_enu, np.float64)
+        if velocity_enu is not None:
+            vel = enu @ np.asarray(velocity_enu, np.float64)
+        if accel_enu is not None:
+            accel = enu @ np.asarray(accel_enu, np.float64)
 
     t_rx0 = t0 - sync_offset_s
     return Scenario(config=config, receiver_ecef=rx, prns=prns,
                     ephemerides=ephs, tow_count=tow_count, t_rx0=t_rx0,
                     noise_std=noise_std, amplitude=amplitude,
-                    receiver_vel=vel)
+                    receiver_vel=vel, receiver_accel=accel)
 
 
 def synthesize_scenario(scenario: Scenario, n_ms: int, seed: int = 0) -> np.ndarray:

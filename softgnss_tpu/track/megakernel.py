@@ -74,8 +74,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from softgnss_tpu.config import ReceiverConfig
 from softgnss_tpu.signals.nco import CODE_FRAC_BITS, CODE_ONE, sin_turns
-from softgnss_tpu.track.pallas_kernel import PHASE_BIAS
-from softgnss_tpu.track.tables import n_tiles, onehot_width, subdivision
+from softgnss_tpu.track.pallas_kernel import PHASE_BIAS, grid_shape
+from softgnss_tpu.track.tables import onehot_width, subdivision
 
 _M16 = (1 << 16) - 1
 _ND = 4
@@ -262,8 +262,6 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
     # unrolled per-tile intermediates without stack reuse, which blew the
     # 16 MB scoped-VMEM limit at 300 tiles/ms (the bisect is
     # scripts/mega_vmem_bisect.py).
-    from softgnss_tpu.track.pallas_kernel import grid_shape
-
     n_words = (w_oh + 31) // 32
     k_tiles, t_groups = grid_shape(config)
     span = k_tiles * tile
@@ -299,8 +297,11 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
             t2 = a2l + sp2 * lane + (t1 >> 16)
             hrel = t2 >> 8
 
-            tt = b * t_pp + gch * k_tiles            # first tile of chunk
-            hb_lane = jnp.repeat(hb_ref[:, tt:tt + k_tiles], tile, axis=1)
+            gb = b * t_groups + gch                  # chunk index
+            # tables come pre-reshaped to (..., G, k_tiles) so every
+            # in-kernel slice starts at lane 0 — Mosaic's repeat/reshape
+            # lowering rejects lane-offset slices at some widths
+            hb_lane = jnp.repeat(hb_ref[:, gb, :], tile, axis=1)
             h_local = hrel - (hb_lane + bias)        # (C, span)
             # No in-window gate on cv: any sample whose h_local leaves the
             # table window is masked (raw == 0 -> bb == 0), so cv*bb == 0
@@ -312,14 +313,13 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
             for x in range(3):                       # E / P / L taps
                 if n_words == 1:
                     bits_lane = jnp.repeat(
-                        codes_ref[:, x, 0, tt:tt + k_tiles], tile, axis=1)
+                        codes_ref[:, x, 0, gb, :], tile, axis=1)
                     valbit = (bits_lane >> hc0) & 1
                 else:
                     valbit = jnp.zeros_like(h_local)
                     for u in range(n_words):
                         bits_lane = jnp.repeat(
-                            codes_ref[:, x, u, tt:tt + k_tiles], tile,
-                            axis=1)
+                            codes_ref[:, x, u, gb, :], tile, axis=1)
                         hs = h_local - 32 * u
                         sel = jnp.logical_and(hs >= 0, hs < 32)
                         hc = jnp.minimum(jnp.maximum(hs, jnp.int32(0)),
@@ -441,17 +441,20 @@ def _mega_call(config: ReceiverConfig, r: int, frames, codes_t, hb,
     assert config.samples_per_code + 64 < 1 << 16, (
         "samples_per_code too large for the in-kernel u16 block math")
 
+    k_tiles, t_groups = grid_shape(config)
+    g = pack * t_groups
     kernel = functools.partial(
         _kernel, config=config, r=r, pack=pack, tile=tile, w_oh=w_oh)
     zmap2 = lambda j: (j * 0, j * 0)                 # noqa: E731
-    zmap4 = lambda j: (j * 0, j * 0, j * 0, j * 0)   # noqa: E731
+    zmap3 = lambda j: (j * 0, j * 0, j * 0)          # noqa: E731
+    zmap5 = lambda j: (j * 0, j * 0, j * 0, j * 0, j * 0)   # noqa: E731
     ysf, ysi, sfo, sio = pl.pallas_call(
         kernel,
         grid=(r,),
         in_specs=[
             pl.BlockSpec((1, c, win_pk), lambda j: (j, j * 0, j * 0)),
-            pl.BlockSpec((c, 3, (w_oh + 31) // 32, n_tiles(config)), zmap4),
-            pl.BlockSpec((c, n_tiles(config)), zmap2),
+            pl.BlockSpec((c, 3, (w_oh + 31) // 32, g, k_tiles), zmap5),
+            pl.BlockSpec((c, g, k_tiles), zmap3),
             pl.BlockSpec((c, 8), zmap2),
             pl.BlockSpec((c, 16), zmap2),
             pl.BlockSpec((c, 16), zmap2),
@@ -592,16 +595,23 @@ def mega_track_segment(config: ReceiverConfig, frames, fb0, codes_t, hb,
 
 
 def mega_tables(config: ReceiverConfig, tables):
-    """Bit-packed code tables (C, 3, n_words, T) i32 + (C, T) one-hot bases.
+    """Bit-packed code tables (C, 3, n_words, G, k_tiles) i32 + one-hot
+    bases (C, G, k_tiles) i32, where G = pack * t_groups chunks of
+    k_tiles tiles each (tile t = gb*k_tiles + k).
 
-    bits[c, x, u, t] holds sub-chip code values u*32..u*32+31 of tap x
-    (E/P/L) at tile t as sign bits (1 = +1 chip): the kernel's per-sample
-    code lookup is ``((bits >> h_local) & 1)*2 - 1`` — see _kernel.  Note
-    bit h of an int32 survives ARITHMETIC right-shift-then-mask, so the
-    u32 patterns are stored bit-exactly in i32."""
+    bits[c, x, u, gb, k] holds sub-chip code values u*32..u*32+31 of tap
+    x (E/P/L) at that tile as sign bits (1 = +1 chip): the kernel's
+    per-sample code lookup is ``((bits >> h_local) & 1)*2 - 1`` — see
+    _kernel.  Bit h of an int32 survives ARITHMETIC
+    right-shift-then-mask, so the u32 patterns are stored bit-exactly in
+    i32.  The chunk axis is explicit so every in-kernel slice starts at
+    lane 0 (Mosaic's repeat lowering rejects lane-offset slices at some
+    chunk widths)."""
     cs = jnp.asarray(tables.codes_static)            # (C, T, w, 3) +-1 f32
-    w = cs.shape[2]
+    c, t_count, w, _ = cs.shape
     n_words = (w + 31) // 32
+    k_tiles, t_groups = grid_shape(config)
+    g = config.track_pack * t_groups
     pos = jnp.transpose(cs > 0, (0, 3, 1, 2)).astype(jnp.int32)  # (C,3,T,w)
     words = []
     for u in range(n_words):
@@ -611,5 +621,6 @@ def mega_tables(config: ReceiverConfig, tables):
         # i32 wraparound is the intended two's-complement pattern
         words.append(jnp.sum(wsl << sh, axis=-1).astype(jnp.int32))
     codes_bits = jnp.stack(words, axis=2)            # (C, 3, n_words, T)
-    hb = jnp.asarray(tables.h_base).astype(jnp.int32)
+    codes_bits = codes_bits.reshape(c, 3, n_words, g, k_tiles)
+    hb = jnp.asarray(tables.h_base).astype(jnp.int32).reshape(c, g, k_tiles)
     return codes_bits, hb
