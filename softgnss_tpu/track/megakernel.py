@@ -77,6 +77,11 @@ from softgnss_tpu.signals.nco import CODE_FRAC_BITS, CODE_ONE, sin_turns
 from softgnss_tpu.track.pallas_kernel import PHASE_BIAS, grid_shape
 from softgnss_tpu.track.tables import onehot_width, subdivision
 
+#: chunk-size cap (tiles per span chunk): bigger chunks than the
+#: per-ms kernel's 32 amortize the per-chunk fixed work (measured
+#: v5e optimum; config.pallas_k_tiles overrides)
+_MEGA_K_CAP = 75
+
 _M16 = (1 << 16) - 1
 _ND = 4
 
@@ -263,7 +268,7 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
     # 16 MB scoped-VMEM limit at 300 tiles/ms (the bisect is
     # scripts/mega_vmem_bisect.py).
     n_words = (w_oh + 31) // 32
-    k_tiles, t_groups = grid_shape(config)
+    k_tiles, t_groups = grid_shape(config, default_cap=_MEGA_K_CAP)
     span = k_tiles * tile
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
     bias = jnp.int32(PHASE_BIAS)
@@ -441,7 +446,7 @@ def _mega_call(config: ReceiverConfig, r: int, frames, codes_t, hb,
     assert config.samples_per_code + 64 < 1 << 16, (
         "samples_per_code too large for the in-kernel u16 block math")
 
-    k_tiles, t_groups = grid_shape(config)
+    k_tiles, t_groups = grid_shape(config, default_cap=_MEGA_K_CAP)
     g = pack * t_groups
     kernel = functools.partial(
         _kernel, config=config, r=r, pack=pack, tile=tile, w_oh=w_oh)
@@ -610,7 +615,7 @@ def mega_tables(config: ReceiverConfig, tables):
     cs = jnp.asarray(tables.codes_static)            # (C, T, w, 3) +-1 f32
     c, t_count, w, _ = cs.shape
     n_words = (w + 31) // 32
-    k_tiles, t_groups = grid_shape(config)
+    k_tiles, t_groups = grid_shape(config, default_cap=_MEGA_K_CAP)
     g = config.track_pack * t_groups
     pos = jnp.transpose(cs > 0, (0, 3, 1, 2)).astype(jnp.int32)  # (C,3,T,w)
     words = []

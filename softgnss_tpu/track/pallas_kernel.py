@@ -82,10 +82,15 @@ PHASE_BIAS = 1 << 10
 _MASK16 = (1 << 16) - 1
 
 
-def grid_shape(config: ReceiverConfig) -> tuple[int, int]:
-    """(k_tiles, t_groups): tiles per grid step and grid steps per plane."""
+def grid_shape(config: ReceiverConfig, default_cap: int = 32) -> tuple[int, int]:
+    """(k_tiles, t_groups): tiles per grid step/chunk and steps per plane.
+
+    ``default_cap`` applies when config.pallas_k_tiles is 0: 32 tuned for
+    this per-ms kernel's grid steps; the megakernel passes 75 (bigger
+    span chunks amortize its per-chunk fixed work — measured optimum on
+    v5e, scripts/mega_ablate.py)."""
     t_pp = (config.track_window // config.track_pack) // config.track_tile
-    cap = config.pallas_k_tiles or 32
+    cap = config.pallas_k_tiles or default_cap
     k_tiles = max(d for d in range(1, min(cap + 1, t_pp + 1)) if t_pp % d == 0)
     return k_tiles, t_pp // k_tiles
 
