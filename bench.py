@@ -170,17 +170,21 @@ def main() -> None:
     t_oracle_1ch = time.perf_counter() - t0
     oracle_sps = (oracle_ms * spc) / (t_oracle_1ch * n_channels)
 
-    # roofline context: the per-ms-step correlator math is
-    # ~window*onehot_width*3 VPU ops per channel (compare+select+add),
-    # plus the baseband mix (~30 ops/sample); at the v5e's ~4e12 f32
-    # VPU ops/s this puts the algorithm's compute floor in the tens of
-    # microseconds per step — the MXU is essentially idle (the two
-    # closing matmuls are <5% of the work), so "fraction of chip FLOPs"
-    # is the wrong lens; step time vs the VPU floor is the honest one.
+    # roofline context: tracking is VPU-bound (the MXU is essentially
+    # idle), so "fraction of chip FLOPs" is the wrong lens; step time vs
+    # the VPU op floor is the honest one.  Per-sample op counts by
+    # correlator: the one-hot contraction does ~3*onehot_width
+    # compare/select/adds plus the ~30-op baseband mix; the megakernel's
+    # bit-shift code lookup replaces the one-hot with ~8 ops per tap
+    # (~72 ops/sample total incl. baseband + exact phase-digit ramp),
+    # so its floor is LOWER and its utilization reads honestly worse.
     from softgnss_tpu.track.tables import onehot_width
 
-    vpu_ops = (config.track_window * (3 * onehot_width(config) + 30)
-               * n_channels)
+    if config.resolved_correlator == "megakernel":
+        ops_per_sample = 72
+    else:
+        ops_per_sample = 3 * onehot_width(config) + 30
+    vpu_ops = config.track_window * ops_per_sample * n_channels
     floor_s = vpu_ops / 4e12
 
     print(json.dumps({

@@ -273,7 +273,10 @@ def build_scenario(config: ReceiverConfig, n_sats: int = 5,
 
     ``velocity_enu``: optional constant receiver velocity (east, north,
     up) in m/s — a kinematic scenario (beyond the reference, whose
-    recordings are static).  Satellite delays then follow the moving
+    recordings are static).  ``accel_enu``: optional constant
+    acceleration (m/s^2) on top — a high-dynamics scenario whose carrier
+    Doppler sweeps through the capture (tests/test_high_dynamics.py
+    drives 1.5 g).  Satellite delays then follow the moving
     receiver, so tracked Doppler, pseudoranges, and the PVT/velocity
     solutions must all reflect the trajectory
     ``receiver_ecef_at(t)``.
