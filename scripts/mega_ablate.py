@@ -14,7 +14,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 import softgnss_tpu as sg
 from softgnss_tpu.signals.nco import sin_turns
 from softgnss_tpu.track.megakernel import _mega_call, mega_tables
+from softgnss_tpu.track.megakernel import _MEGA_K_CAP
 from softgnss_tpu.track.pallas_kernel import grid_shape
 from softgnss_tpu.track.tables import build_tables, n_tiles, onehot_width
 
@@ -37,7 +38,7 @@ win_pk = cfg.track_window // pack
 T = n_tiles(cfg)
 w = onehot_width(cfg)
 n_words = (w + 31) // 32
-k_tiles, t_groups = grid_shape(cfg)
+k_tiles, t_groups = grid_shape(cfg, default_cap=_MEGA_K_CAP)
 span = k_tiles * tile
 t_pp = win_pk // tile
 B = cfg.track_block_ms
@@ -101,17 +102,15 @@ def make_stripped(mode):
                         acc[0] += jnp.sum(hrel.astype(jnp.float32), axis=1,
                                           keepdims=True)
                         continue
-                    tt = b * t_pp + gch * k_tiles
-                    hb_lane = jnp.repeat(hb_ref[:, tt:tt + k_tiles], tile,
-                                         axis=1)
+                    gb = b * t_groups + gch
+                    hb_lane = jnp.repeat(hb_ref[:, gb, :], tile, axis=1)
                     h_local = hrel - (hb_lane + 1024)
                     in_win = jnp.logical_and(h_local >= 0, h_local < w)
                     for x in range(3):
                         valbit = jnp.zeros_like(h_local)
                         for u in range(n_words):
                             bits_lane = jnp.repeat(
-                                codes_ref[:, x, u, tt:tt + k_tiles], tile,
-                                axis=1)
+                                codes_ref[:, x, u, gb, :], tile, axis=1)
                             hs = h_local - 32 * u
                             sel = jnp.logical_and(hs >= 0, hs < 32)
                             hc = jnp.minimum(jnp.maximum(hs, jnp.int32(0)),
@@ -133,14 +132,16 @@ def make_stripped(mode):
         def _():
             sfo_ref[...] = stf[...]
 
+    g_chunks = pack * t_groups
     zmap2 = lambda j: (j * 0, j * 0)
-    zmap4 = lambda j: (j * 0, j * 0, j * 0, j * 0)
+    zmap3 = lambda j: (j * 0, j * 0, j * 0)
+    zmap5 = lambda j: (j * 0, j * 0, j * 0, j * 0, j * 0)
     return pl.pallas_call(
         kern, grid=(B,),
         in_specs=[
             pl.BlockSpec((1, C, win_pk), lambda j: (j, j * 0, j * 0)),
-            pl.BlockSpec((C, 3, n_words, T), zmap4),
-            pl.BlockSpec((C, T), zmap2),
+            pl.BlockSpec((C, 3, n_words, g_chunks, k_tiles), zmap5),
+            pl.BlockSpec((C, g_chunks, k_tiles), zmap3),
             pl.BlockSpec((C, 8), zmap2),
             pl.BlockSpec((C, 16), zmap2),
             pl.BlockSpec((C, 16), zmap2),

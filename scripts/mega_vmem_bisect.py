@@ -2,9 +2,10 @@
 reference workload.  Each variant keeps the same BlockSpecs and grid and
 adds one stage; compile errors report the VMEM demand."""
 import functools
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -140,7 +140,10 @@ def load_capture(path: str, config: ReceiverConfig,
     are read and upconverted to a real stream at fs/4 above the recorded
     center (:func:`upconvert_iq`); the returned config carries the
     shifted ``intermediate_freq`` and ``data_format='int8'`` and must be
-    used for all downstream processing.
+    used for all downstream processing.  NB: unlike the lazily
+    memory-mapped int8 real path, the I/Q path materializes the capture
+    (deinterleave + upconversion are element transforms); for multi-GB
+    captures pass ``count``/``offset_samples`` to convert in chunks.
     """
     fmt = config.data_format
     if fmt not in ("iq8", "iq16"):

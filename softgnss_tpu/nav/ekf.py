@@ -144,16 +144,17 @@ def ekf_epoch(state: EkfState, sat_pos, sat_vel, pr_obs, rr_obs, mask,
         return EkfState(x=x0, p=p0, init=jnp.bool_(True))
 
     can_init = (ls_pos is not None and ls_ok is not None)
+    just_init = jnp.bool_(False)
     if can_init:
-        state = jax.lax.cond(
-            jnp.logical_and(~state.init, ls_ok), do_init,
-            lambda _: state, None)
+        just_init = jnp.logical_and(~state.init, ls_ok)
+        state = jax.lax.cond(just_init, do_init, lambda _: state, None)
 
-    # --- predict -------------------------------------------------------------
+    # --- predict (skipped at the init epoch: the seed already reflects
+    # --- THIS epoch's measurements; a predict would double-propagate) --------
     f = _transition(t_step)
     q = _wna_q(t_step, q_accel, q_clock, q_bias)
-    x = f @ state.x
-    p = f @ state.p @ f.T + q
+    x = jnp.where(just_init, state.x, f @ state.x)
+    p = jnp.where(just_init, state.p, f @ state.p @ f.T + q)
 
     # --- measurement geometry at the predicted position ----------------------
     rho0 = jnp.linalg.norm(sat_pos - x[:3], axis=-1)
@@ -178,12 +179,17 @@ def ekf_epoch(state: EkfState, sat_pos, sat_vel, pr_obs, rr_obs, mask,
     use_any = state.init
     used = jnp.int32(0)
     for i in range(s_count):
-        # pseudorange: z = rho + cdt + atm
+        # pseudorange: z = rho + cdt + atm.  Inactive channels carry inf
+        # pseudoranges (nav.solve fills travel=inf outside the active
+        # set): the innovation must be zeroed, not just gain-masked —
+        # 0 * inf = NaN would poison the whole state vector.
         h_pr = jnp.concatenate([-e_los[i], jnp.zeros(3),
                                 jnp.ones(1), jnp.zeros(1)])
         innov = pr_obs[i] - (rho[i] + x[6] + atm[i])
+        fin = jnp.isfinite(innov)
+        innov = jnp.where(fin, innov, 0.0)
         s_pr = h_pr @ (p @ h_pr) + r_pr * r_pr
-        ok = use_any & mask[i] & (innov * innov < gate * gate * s_pr)
+        ok = use_any & mask[i] & fin & (innov * innov < gate * gate * s_pr)
         x, p = _scalar_update(x, p, h_pr, innov, r_pr * r_pr, ok)
         used = used + ok.astype(jnp.int32)
         # range rate: z = e.(v_sat - v) + cddt

@@ -133,8 +133,11 @@ class NavSolutions:
     lsq_z: np.ndarray | None = None
     lsq_dt: np.ndarray | None = None
     #: with nav_filter='ekf': (E,) accepted pseudorange updates per epoch
-    #: (innovation-gated; < 4 means the filter bridged the epoch)
+    #: (innovation-gated — an outlier-rejected satellite also lowers it)
     ekf_used: np.ndarray | None = None
+    #: (E,) usable satellites per epoch (post elevation-mask / lock /
+    #: RAIM masking) — < 4 marks an outage epoch the EKF bridges
+    n_used: np.ndarray | None = None
 
     def utc_offset_s(self, epoch: int = 0) -> float | None:
         """GPS-minus-UTC offset (s) at a measurement epoch, from the
@@ -316,6 +319,11 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
             pr_f = ((travel - anchor + config.start_offset_ms)
                     * c_light / 1000.0 + clk * c_light)
             rr_f = -lam * doppler + c_light * clk_drift
+            # the LS clock bias references this epoch's floor (tmin); the
+            # filter's pseudoranges reference the fixed anchor — seed cdt
+            # in the anchor frame or the first innovations sit whole
+            # light-milliseconds off and the gate rejects everything
+            ls_init = pos.at[3].add((tmin - anchor) * c_light / 1000.0)
             ekf_state, (e_pos, e_vel, e_cdt, e_cddt, e_used) = ekf_epoch(
                 ekf_state, sat_pos, sat_vel, pr_f, rr_f, mask_eff,
                 use_trop, iono_tow,
@@ -323,7 +331,7 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
                 q_accel=config.ekf_accel_psd, q_clock=config.ekf_clock_psd,
                 q_bias=config.ekf_clock_bias_psd,
                 r_pr=ekf_sigma, r_rr=config.ekf_doppler_sigma,
-                gate=config.ekf_gate_sigma, ls_pos=pos, ls_ok=ok,
+                gate=config.ekf_gate_sigma, ls_pos=ls_init, ls_ok=ok,
                 ls_vel=vel4)
             ekf_out = jnp.concatenate(
                 [e_pos, e_vel, jnp.stack([e_cdt, e_cddt]),
@@ -669,6 +677,7 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
         vx=vel4[:, 0], vy=vel4[:, 1], vz=vel4[:, 2], clock_drift=vel4[:, 3],
         first_epoch_ms=int(max_start), _period_ms=int(period), iono=iono8,
         raim_flag=raim_flag, raim_excluded_prn=raim_prn,
+        n_used=_n_used.astype(np.int64),
         utc_params=utc_params,
         week_number=(int(ephs[int(active[0])].week_number)
                      if ephs[int(active[0])].week_number is not None else None),

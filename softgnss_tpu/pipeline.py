@@ -79,10 +79,11 @@ class ReceiverResults:
             if ok.any():
                 tag = (" (EKF)" if getattr(self.solutions, "nav_filter", "lsq")
                        == "ekf" else "")
-                bridged = getattr(self.solutions, "ekf_used", None)
-                if bridged is not None and (bridged[ok] < 4).any():
-                    tag += (f", {int((bridged[ok] < 4).sum())} epochs bridged"
-                            " with < 4 satellites")
+                n_used = getattr(self.solutions, "n_used", None)
+                if (tag and n_used is not None
+                        and (fin_lt4 := ok & (n_used < 4)).any()):
+                    tag += (f", {int(fin_lt4.sum())} epochs bridged"
+                            " with < 4 usable satellites")
                 lines.append(
                     f"PVT{tag}: {int(ok.sum())}/{self.solutions.n_epochs} fixes, mean "
                     f"lat {np.nanmean(self.solutions.latitude):.6f} deg, "

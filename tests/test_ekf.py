@@ -74,6 +74,22 @@ class TestEkfFilter:
         assert sol.ekf_used is not None
         assert (sol.ekf_used[np.isfinite(sol.x)] >= 1).all()
 
+    def test_inactive_channel_does_not_poison_state(self, tracked):
+        """A channel outside the active set carries an infinite travel
+        time through nav.solve; the EKF must zero (not merely gain-mask)
+        that innovation — 0 * inf = NaN would wipe the whole state.
+        Regression: with channels > usable satellites every EKF fix was
+        NaN."""
+        cfg, scenario, track = tracked
+        t2 = copy.copy(track)
+        t2.status = list(track.status)
+        t2.status[4] = "-"                 # drop to 4 usable satellites
+        sol, _ = post_navigate(cfg.with_options(nav_filter="ekf"), t2)
+        assert sol is not None
+        assert np.isfinite(sol.x).sum() >= 0.9 * sol.n_epochs
+        err = _truth_err(scenario, sol)
+        assert np.nanmedian(err) < 60.0
+
     def test_bridges_satellite_outage(self, tracked):
         """Two channels lose lock mid-capture leaving 3 usable satellites:
         least squares produces nothing from that epoch on, the initialized
