@@ -48,6 +48,12 @@ from softgnss_tpu.nav.geodesy import (  # noqa: F401
 from softgnss_tpu.nav.atmosphere import tropo  # noqa: F401
 from softgnss_tpu.nav.assist import predict_doppler  # noqa: F401
 from softgnss_tpu.nav.ekf import EkfState, ekf_epoch  # noqa: F401
+from softgnss_tpu.nav.message import (  # noqa: F401
+    Almanac,
+    almanac_to_ephemeris,
+    decode_almanac_pages,
+    ephemeris_to_almanac,
+)
 from softgnss_tpu.nav.solve import (  # noqa: F401
     NavSolutions,
     calculate_pseudoranges,

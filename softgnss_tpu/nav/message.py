@@ -164,7 +164,8 @@ def _int_to_bits(value: int, n: int) -> np.ndarray:
 def encode_subframe_source(subframe_id: int, tow_count_next: int,
                            eph: Ephemeris,
                            iono: np.ndarray | None = None,
-                           utc: "UtcParams | None" = None) -> np.ndarray:
+                           utc: "UtcParams | None" = None,
+                           almanac_page: "Almanac | None" = None) -> np.ndarray:
     """Source (pre-parity) bits of one subframe, (300,) 0/1.
 
     Parity-region bits (positions w*30+24 .. w*30+29) are left 0 here; the
@@ -180,6 +181,8 @@ def encode_subframe_source(subframe_id: int, tow_count_next: int,
         encode_utc_page(bits, utc)
     if subframe_id == 4 and iono is not None:
         encode_iono_page(bits, iono)
+    if subframe_id in (4, 5) and almanac_page is not None:
+        encode_almanac_page(bits, almanac_page)
     if subframe_id in _LAYOUTS:
         for name, slices, scale, signed in _LAYOUTS[subframe_id]:
             value = getattr(eph, name)
@@ -213,21 +216,31 @@ def encode_subframe_source(subframe_id: int, tow_count_next: int,
 def build_nav_stream(eph: Ephemeris, first_tow_count: int, n_subframes: int,
                      d29star: int = 0, d30star: int = 0,
                      iono: np.ndarray | None = None,
-                     utc: "UtcParams | None" = None) -> np.ndarray:
+                     utc: "UtcParams | None" = None,
+                     almanac: "dict[int, Almanac] | None" = None) -> np.ndarray:
     """Transmitted nav-bit stream of ``n_subframes`` consecutive subframes.
 
     Subframe IDs cycle 1..5 with the frame phase implied by
     ``first_tow_count`` (a subframe with Z-count z has ID (z mod 5)+1 for
-    z%5 in 0..4 -- i.e. frames start at Z-counts divisible by 5).  Returns
-    (n_subframes*300,) int8 of +/-1 transmitted chips-level bits (binary
-    1 -> +1), ready for the signal synthesizer's ``nav_bits``.
+    z%5 in 0..4 -- i.e. frames start at Z-counts divisible by 5).
+    ``almanac``: optional {prn: Almanac} — frame f's subframe 5 carries
+    the almanac page f % 25 + 1 (SV = page number, the ICD paging for
+    SVs 1-24) when that PRN is in the dict; subframe 4 keeps the
+    iono/UTC page.  Returns (n_subframes*300,) int8 of +/-1 transmitted
+    chip-level bits (binary 1 -> +1), ready for the signal synthesizer's
+    ``nav_bits``.
     """
     words = []
     for k in range(n_subframes):
         z = first_tow_count + k
         sf_id = z % 5 + 1
+        alm_page = None
+        if almanac is not None and sf_id == 5:
+            page = (z // 5) % 25 + 1
+            alm_page = almanac.get(page) if page <= 24 else None
         src = encode_subframe_source(sf_id, (z + 1) % (1 << 17), eph,
-                                     iono=iono, utc=utc)
+                                     iono=iono, utc=utc,
+                                     almanac_page=alm_page)
         words.append(src.reshape(_WORDS, 30)[:, :24])
     source_words = np.concatenate(words, axis=0)
     tx01 = encode_stream(source_words, d29star, d30star)
@@ -408,6 +421,167 @@ def decode_iono(bits, d30star) -> np.ndarray | None:
             out[k] = _bits_to_int(subframe[start:start + 8]) * scale
         return out
     return None
+
+
+@dataclass
+class Almanac:
+    """One satellite's almanac (subframe 4/5 page, IS-GPS-200 20.3.3.5.1.2).
+
+    Reduced-precision long-term orbit + clock: the reference discards
+    subframes 4-5 entirely (ephemeris.py:88-91); here almanac pages are
+    encoded into the synthesized stream, collected from tracked captures,
+    and usable for acquisition assistance via :func:`almanac_to_ephemeris`
+    + nav.assist.predict_doppler.
+    """
+
+    prn: int
+    e: float            # eccentricity (x 2^-21)
+    t_oa: float         # almanac reference time, s (x 2^12)
+    delta_i: float      # inclination offset from 0.30 semicircles, rad
+    omega_dot: float    # rad/s
+    health: int
+    sqrt_a: float       # m^0.5 (x 2^-11)
+    omega_0: float      # rad
+    omega: float        # rad
+    m_0: float          # rad
+    a_f0: float         # s (x 2^-20, 11 bits split 8+3)
+    a_f1: float         # s/s (x 2^-38)
+
+
+#: almanac page source-bit layout: (field, [(start, nbits), ...], scale,
+#: signed); angles in semicircles (x GPS_PI on decode), per IS-GPS-200
+#: Table 20-VI (words 3-10 of a subframe 4/5 almanac page)
+_ALMANAC_LAYOUT = [
+    ("e", [(68, 16)], 2.0**-21, False),
+    ("t_oa", [(90, 8)], 2.0**12, False),
+    ("delta_i", [(98, 16)], 2.0**-19, True),
+    ("omega_dot", [(120, 16)], 2.0**-38, True),
+    ("health", [(136, 8)], 1.0, False),
+    ("sqrt_a", [(150, 24)], 2.0**-11, False),
+    ("omega_0", [(180, 24)], 2.0**-23, True),
+    ("omega", [(210, 24)], 2.0**-23, True),
+    ("m_0", [(240, 24)], 2.0**-23, True),
+    ("a_f0", [(270, 8), (289, 3)], 2.0**-20, True),
+    ("a_f1", [(278, 11)], 2.0**-38, True),
+]
+_ALMANAC_ANGLES = ("delta_i", "omega_dot", "omega_0", "omega", "m_0")
+#: subframe 5 pages 1-24 carry SVs 1-24; subframe 4 pages carry SVs 25-32
+#: on pages 2,3,4,5,7,8,9,10 (the SV ID word identifies the satellite)
+_SF4_ALMANAC_PAGES = {2: 25, 3: 26, 4: 27, 5: 28, 7: 29, 8: 30, 9: 31, 10: 32}
+
+
+def encode_almanac_page(bits: np.ndarray, alm: Almanac) -> None:
+    """Fill a subframe 4/5 source-bit array with one almanac page
+    (inverse of the :func:`decode_almanac_pages` field extraction)."""
+    bits[60:62] = _uint_to_bits(1, 2)                  # data ID
+    bits[62:68] = _uint_to_bits(alm.prn, 6)            # SV ID
+    for name, slices, scale, signed in _ALMANAC_LAYOUT:
+        value = getattr(alm, name)
+        if name in _ALMANAC_ANGLES:
+            value = float(value) / GPS_PI              # rad -> semicircles
+        raw = int(round(float(value) / scale))
+        total = sum(n for _, n in slices)
+        if name in _ALMANAC_ANGLES:
+            half = 1 << (total - 1)
+            raw = (raw + half) % (1 << total) - half
+        field = _int_to_bits(raw, total) if signed else _uint_to_bits(raw, total)
+        k = 0
+        for start, n in slices:
+            bits[start:start + n] = field[k:k + n]
+            k += n
+
+
+def decode_almanac_pages(bits, d30star) -> dict[int, Almanac]:
+    """Collect almanac entries from an arbitrary-length tracked bit stream.
+
+    ``bits``: +/-1 (or 0/1) nav bits starting at a subframe boundary, any
+    number of whole subframes (one frame carries ONE almanac page each on
+    subframes 4 and 5; the full 25-page cycle spans 12.5 minutes, so a
+    short capture yields the pages it saw).  Returns {prn: Almanac}.
+    """
+    bits = np.asarray(bits)
+    n_sub = bits.shape[0] // _SUBFRAME_BITS
+    words = _corrected_words(bits, d30star, n_sub * _WORDS)
+    out: dict[int, Almanac] = {}
+    for s in range(n_sub):
+        sub = words[s * _WORDS:(s + 1) * _WORDS].reshape(-1)
+        sf_id = _bits_to_uint(sub[49:52])
+        if sf_id not in (4, 5):
+            continue
+        data_id = _bits_to_uint(sub[60:62])
+        sv_id = _bits_to_uint(sub[62:68])
+        if data_id != 1:
+            continue
+        if sf_id == 5:
+            if not 1 <= sv_id <= 24:
+                continue
+            prn = sv_id
+        else:
+            if sv_id not in _SF4_ALMANAC_PAGES.values():
+                continue
+            prn = sv_id
+        fields = {}
+        for name, slices, scale, signed in _ALMANAC_LAYOUT:
+            raw_bits = np.concatenate([sub[a:a + n] for a, n in slices])
+            raw = _bits_to_int(raw_bits) if signed else _bits_to_uint(raw_bits)
+            value = raw * scale
+            if name in _ALMANAC_ANGLES:
+                value *= GPS_PI
+            fields[name] = value
+        fields["health"] = int(fields["health"])
+        out[prn] = Almanac(prn=prn, **fields)
+    return out
+
+
+def almanac_to_ephemeris(alm: Almanac, week_number: int = 1024) -> Ephemeris:
+    """Reduced-precision Ephemeris from an almanac entry — propagates
+    through the same Kepler machinery (nav.orbit) at almanac accuracy
+    (km-level positions, good for visibility and Doppler prediction via
+    nav.assist.predict_doppler; IS-GPS-200 20.3.3.5.2.3: i_0 = 0.30
+    semicircles + delta_i, all correction terms zero)."""
+    return Ephemeris(
+        week_number=week_number, accuracy=0, health=alm.health,
+        t_gd=0.0, iodc=0, t_oc=alm.t_oa,
+        a_f2=0.0, a_f1=alm.a_f1, a_f0=alm.a_f0,
+        iode_sf2=0, c_rs=0.0, delta_n=0.0, m_0=alm.m_0,
+        c_uc=0.0, e=alm.e, c_us=0.0, sqrt_a=alm.sqrt_a, t_oe=alm.t_oa,
+        c_ic=0.0, omega_0=alm.omega_0, c_is=0.0,
+        i_0=0.30 * GPS_PI + alm.delta_i, c_rc=0.0, omega=alm.omega,
+        omega_dot=alm.omega_dot, iode_sf3=0, i_dot=0.0,
+    )
+
+
+def ephemeris_to_almanac(eph: Ephemeris, prn: int) -> Almanac:
+    """Reduce a full ephemeris to its almanac representation (the page a
+    satellite would broadcast for itself) — the synthesizer's source for
+    subframe-5 almanac pages.
+
+    t_oa is quantized to the ICD's 4096 s grid, so the anomaly and node
+    are RE-EPOCHED to the quantized time (m_0 by the mean motion,
+    omega_0 by omega_dot; the -OMEGA_E_DOT*t_oe term of the node
+    equation cancels against the earth-rotation part of the shift) —
+    without this the decoded almanac would propagate from a reference
+    time up to 2048 s away from the orbital elements' true epoch,
+    i.e. thousands of km of along-track error.
+    """
+    from softgnss_tpu.nav.orbit import GM
+
+    t_oa = float(np.round(float(eph.t_oe) / 4096.0) * 4096.0)
+    dt = t_oa - float(eph.t_oe)
+    n0 = np.sqrt(GM) / float(eph.sqrt_a) ** 3 + float(eph.delta_n or 0.0)
+
+    def wrap(x):
+        return float((x + GPS_PI) % (2.0 * GPS_PI) - GPS_PI)
+
+    return Almanac(
+        prn=prn, e=float(eph.e), t_oa=t_oa,
+        delta_i=float(eph.i_0) - 0.30 * GPS_PI,
+        omega_dot=float(eph.omega_dot), health=int(eph.health or 0),
+        sqrt_a=float(eph.sqrt_a),
+        omega_0=wrap(float(eph.omega_0) + float(eph.omega_dot) * dt),
+        omega=float(eph.omega), m_0=wrap(float(eph.m_0) + n0 * dt),
+        a_f0=float(eph.a_f0) + float(eph.a_f1) * dt, a_f1=float(eph.a_f1),
+    )
 
 
 def decode_tow(bits, d30star) -> float:

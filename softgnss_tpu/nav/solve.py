@@ -138,6 +138,11 @@ class NavSolutions:
     #: (E,) usable satellites per epoch (post elevation-mask / lock /
     #: RAIM masking) — < 4 marks an outage epoch the EKF bridges
     n_used: np.ndarray | None = None
+    #: {prn: nav.message.Almanac} pages collected from subframe 4/5 of
+    #: this capture (one page per 30-s frame; the reference discards
+    #: subframes 4-5).  Convert via message.almanac_to_ephemeris for
+    #: acquisition assistance (nav.assist)
+    almanac: dict | None = None
 
     def utc_offset_s(self, epoch: int = 0) -> float | None:
         """GPS-minus-UTC offset (s) at a measurement epoch, from the
@@ -476,6 +481,29 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
         logger.warning("Too few TOW-consistent satellites (%d).", len(active))
         return None, eph_by_prn
 
+    # --- almanac collection (beyond the reference, which discards
+    # --- subframes 4-5 entirely, ephemeris.py:88-91) ------------------------
+    # every satellite broadcasts the constellation almanac one page per
+    # 30-s frame; collect whatever pages this capture spans from the
+    # first decodable channel (see message.decode_almanac_pages /
+    # almanac_to_ephemeris for acquisition assistance from the result)
+    from softgnss_tpu.nav.message import decode_almanac_pages
+
+    almanac: dict[int, object] = {}
+    for ch in active:
+        start = int(first_subframe[ch])
+        n_sub = (n_ms - start) // (_MS_PER_BIT * 300)
+        if n_sub < 1 or start < _MS_PER_BIT:
+            continue
+        window = i_p[ch, start - _MS_PER_BIT:
+                     start + 300 * n_sub * _MS_PER_BIT]
+        bits = np.where(window.reshape(-1, _MS_PER_BIT).sum(axis=1) > 0, 1, -1)
+        almanac = decode_almanac_pages(bits[1:], bits[0])
+        if almanac:
+            logger.info("Collected %d almanac page(s): PRNs %s.",
+                        len(almanac), sorted(almanac))
+        break
+
     # --- epoch setup -------------------------------------------------------
     c_ch = i_p.shape[0]
     period = config.nav_sol_period_ms
@@ -677,7 +705,7 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
         vx=vel4[:, 0], vy=vel4[:, 1], vz=vel4[:, 2], clock_drift=vel4[:, 3],
         first_epoch_ms=int(max_start), _period_ms=int(period), iono=iono8,
         raim_flag=raim_flag, raim_excluded_prn=raim_prn,
-        n_used=_n_used.astype(np.int64),
+        n_used=_n_used.astype(np.int64), almanac=almanac or None,
         utc_params=utc_params,
         week_number=(int(ephs[int(active[0])].week_number)
                      if ephs[int(active[0])].week_number is not None else None),

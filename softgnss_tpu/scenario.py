@@ -401,9 +401,16 @@ def synthesize_scenario(scenario: Scenario, n_ms: int, seed: int = 0) -> np.ndar
     scenario.dopplers = -cfg.l1_freq * (delays[:, 1] - delays[:, 0]) * 1000.0
 
     n_subframes = int(np.ceil((scenario.t_rx0 - scenario.t_bits0 + n_ms / 1000.0) / 6.0)) + 2
+    # every satellite broadcasts the same almanac set on its subframe-5
+    # pages (as the real constellation does); the receiver collects the
+    # pages the capture happens to span (nav.message.decode_almanac_pages)
+    from softgnss_tpu.nav.message import ephemeris_to_almanac
+
+    alm = {prn: ephemeris_to_almanac(eph, prn)
+           for prn, eph in zip(scenario.prns, scenario.ephemerides)}
     streams = np.stack([
         build_nav_stream(eph, scenario.tow_count - 1, n_subframes,
-                         iono=scenario.iono, utc=scenario.utc)
+                         iono=scenario.iono, utc=scenario.utc, almanac=alm)
         for eph in scenario.ephemerides
     ]).astype(np.float32)
 
