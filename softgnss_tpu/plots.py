@@ -181,8 +181,16 @@ def plot_navigation(config: ReceiverConfig, solutions, out_dir: str = ".") -> st
     if getattr(sol, "vx", None) is not None and np.isfinite(sol.vx).any():
         ax1.plot(np.sqrt(sol.vx**2 + sol.vy**2 + sol.vz**2), "--",
                  label="|v| (m/s)", alpha=0.7)
+    title = "Coordinate variations in UTM system"
+    if getattr(sol, "lsq_x", None) is not None:
+        # EKF-filtered run: overlay the raw per-epoch LS scatter as the
+        # horizontal miss distance so the filter's smoothing is visible
+        d_ls = np.sqrt((sol.lsq_x - sol.x) ** 2 + (sol.lsq_y - sol.y) ** 2
+                       + (sol.lsq_z - sol.z) ** 2)
+        ax1.plot(d_ls, ":", label="|LS - EKF| (m)", alpha=0.7)
+        title += " (EKF; dotted: per-epoch LS offset)"
     ax1.legend()
-    ax1.set(title="Coordinate variations in UTM system",
+    ax1.set(title=title,
             xlabel=f"Measurement period: {config.nav_sol_period_ms} ms",
             ylabel="Variations (m)")
 
