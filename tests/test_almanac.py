@@ -78,6 +78,29 @@ class TestAlmanacCodec:
         assert np.linalg.norm(pos_f[:, 0] - pos_a[:, 0]) < 30_000.0
 
 
+class TestAlmanacAssist:
+    def test_almanac_doppler_prediction(self):
+        """Almanac-converted ephemerides drive the acquisition Doppler
+        assist to within tens of Hz of the full-ephemeris prediction —
+        a cold receiver with only a stored almanac can still narrow the
+        +-7 kHz search."""
+        from softgnss_tpu.nav.assist import predict_doppler
+
+        cfg = sg.fast_config()
+        sc = _scenario_eph()
+        t = sc.tow_count * 6.0
+        ephs_full: list = [None] * 32
+        ephs_alm: list = [None] * 32
+        for p, e in zip(sc.prns, sc.ephemerides):
+            ephs_full[p - 1] = e
+            ephs_alm[p - 1] = almanac_to_ephemeris(ephemeris_to_almanac(e, p))
+        f_full = predict_doppler(cfg, ephs_full, sc.receiver_ecef, t)
+        f_alm = predict_doppler(cfg, ephs_alm, sc.receiver_ecef, t)
+        sel = np.isfinite(f_full)
+        assert sel.sum() == len(sc.prns)
+        assert np.nanmax(np.abs(f_alm[sel] - f_full[sel])) < 50.0
+
+
 @pytest.mark.slow
 class TestAlmanacEndToEnd:
     def test_receiver_collects_pages(self):
