@@ -333,14 +333,31 @@ class ReceiverConfig:
     track_pack_size: int = 2
 
     @property
+    def _mega_capable(self) -> bool:
+        """Whether the multi-ms megakernel's int32-view framing fits this
+        front end (see track.megakernel / tables.mega_window)."""
+        return (self.track_block_ms > 1 and self.samples_per_code % 4 == 0
+                and self.track_tile % 4 == 0)
+
+    @property
     def track_pack(self) -> int:
         """Samples per capture word in the tracking hot path: >1 when the
         int8 capture is consumed through an int16/int32 view (fast batched
-        slicing + byte-plane-ordered correlation, see track.scan)."""
+        slicing + byte-plane-ordered correlation, see track.scan).  The
+        megakernel always rides the int32 view (pack=4): its per-channel
+        block buffers are sliced at int32 granularity (the measured-fast
+        XLA gather) and its per-ms frames fetched by in-kernel DMA."""
+        if self.resolved_correlator == "megakernel":
+            if not self._mega_capable:
+                raise ValueError(
+                    "correlator_impl='megakernel' needs track_block_ms > 1 "
+                    "and samples_per_code/track_tile divisible by 4; got "
+                    f"spc={self.samples_per_code}, tile={self.track_tile}, "
+                    f"block_ms={self.track_block_ms}")
+            return 4
         p = self.track_pack_size
         if (p in (2, 4)
-                and self.correlator_impl in ("auto", "onehot", "pallas",
-                                             "megakernel")
+                and self.correlator_impl in ("auto", "onehot", "pallas")
                 and self.track_block_ms > 1
                 and self.samples_per_code % p == 0 and self.track_tile % p == 0):
             return p
@@ -350,19 +367,24 @@ class ReceiverConfig:
     def resolved_correlator(self) -> str:
         """The correlator implementation actually used by the tracker.
 
-        'auto' picks the multi-ms fused megakernel on TPU whenever the
-        packed block-mode path it rides on is available (int8 capture
-        consumed through an int16/int32 view — see :attr:`track_pack`;
-        measured ~1.0 Gsps vs ~0.77 for the per-ms 'pallas' kernel and
-        ~0.5 for 'onehot' on v5e), and the XLA one-hot contraction
-        everywhere else (CPU/GPU, where the Mosaic kernels would run
-        interpreted).  Explicit values pass through untouched."""
+        'auto' picks the multi-ms fused megakernel on TPU whenever its
+        int32-view block framing fits the front end (measured ~2 Gsps vs
+        ~0.77 for the per-ms 'pallas' kernel and ~0.5 for 'onehot' on
+        v5e), and the XLA one-hot contraction everywhere else (CPU/GPU,
+        where the Mosaic kernels would run interpreted).  Explicit values
+        pass through untouched."""
         if self.correlator_impl != "auto":
             return self.correlator_impl
         import jax
 
-        if jax.default_backend() == "tpu" and self.track_pack > 1:
-            return "megakernel" if self.track_block_ms > 1 else "pallas"
+        if jax.default_backend() == "tpu":
+            if self._mega_capable:
+                return "megakernel"
+            p = self.track_pack_size
+            if (p in (2, 4) and self.track_block_ms > 1
+                    and self.samples_per_code % p == 0
+                    and self.track_tile % p == 0):
+                return "pallas"
         return "onehot"
 
     @property

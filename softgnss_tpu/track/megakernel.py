@@ -1,65 +1,61 @@
 """Multi-millisecond fused tracking kernel: a whole block per ``pallas_call``.
 
-The round-2 fused correlator (track.pallas_kernel) runs ONE millisecond per
-kernel launch; measured on v5e (scripts/pallas_ablate.py), the launch itself
-costs ~14 us — more than the ~11 us of correlator compute — and the XLA glue
-between launches (f64 loop filters, int64 NCO bookkeeping, per-ms phase-digit
-precompute) adds ~23 us more, so the 12-channel step ran at ~49 us against a
-~14.5 us VPU floor.  This kernel amortizes ALL of that: one ``pallas_call``
-processes an entire ``track_block_ms`` block, carrying the complete DLL/PLL
-loop state in VMEM scratch across a ``grid=(block_ms,)`` — **one grid step
-is one whole millisecond** (an earlier (ms, plane, group) decomposition
-spent ~0.2 us of Mosaic per-grid-step overhead x 640 steps; with the plane
-and tile loops statically unrolled inside the step, the overhead is paid 64
-times instead).  Measured v5e, 12 ch @ fs=38.192 MHz: see BASELINE.md /
-bench.py (BENCH_IMPL=megakernel).
+One ``pallas_call`` processes an entire ``track_block_ms`` block with the
+complete DLL/PLL loop state carried in VMEM scratch across a
+``grid=(block_ms,)`` — one grid step is one whole millisecond, all
+channels.  This amortizes the ~14 us per-launch cost that dominated the
+per-ms fused kernel (track.pallas_kernel) and keeps every per-ms
+dependency (loop filters, exact Q40/uint32 NCOs) inside the kernel.
+Matches reference tracking.py:132-275 (the whole per-ms hot loop
+including loop filters) through the same equations.
 
-Everything the XLA scan body used to do per millisecond moves in-kernel:
+Round-4 design (see BASELINE.md for the measured history):
 
+* **Frames via in-kernel DMA, not XLA assembly.**  The per-channel block
+  buffer (sliced from the int32 capture view — the measured-fast XLA
+  gather) stays in HBM; each grid step issues one double-buffered
+  ``make_async_copy`` of a (C, win/4 + 128) i32 slab at a 128-word-aligned
+  offset.  The <= 511-sample alignment residual rides the in-frame offset
+  ``o``.  This removes the round-3 (r, C, win/pack) frame-stack assembly
+  that cost ~7 us/step of HBM round-trips at ~55 GB/s.  Offsets are
+  anchored at the ABSOLUTE millisecond (static ``p0`` = block phase), so a
+  resumed run reads bit-identical frames (tests/test_megakernel.py).
+* **Per-LANE joint code tables** (tables.mega_lane_tables): static i32
+  words per capture sample position hold the E/P/L code signs as
+  adjacent bits of a joint window PLUS the lane's sub-chip base offset.
+  The per-sample code lookup is one funnel shift + three bit tests — no
+  ``jnp.repeat`` broadcasts, no per-tile one-hot.  (Round 3 expanded
+  per-TILE words with three repeat/shift chains per chunk; the repeats
+  were the dominant in-kernel relayout cost.)
+* **Shared-fold sine/cosine** (:func:`_sincos_counts`): quadrant folding
+  happens once on the integer NCO counts; one odd + one even minimax
+  polynomial produce sin and cos together (~2e-7 max error, tighter than
+  the separate sin_turns calls it replaces).
 * **Exact Q40 code NCO in 16-bit-digit int32 arithmetic** (Mosaic has no
-  int64).  The code phase, block length ``blk = ceil((1023 chips - rem) /
-  step)``, remainder update, and the per-lane sub-chip phase ramp are all
-  computed on 4x16-bit digit vectors with carry normalization — exact
-  integer arithmetic, the same sequences as the XLA path's int64 (the
-  in-lane digit identity is the one track.pallas_kernel already used; here
-  the digits are *produced* in-kernel too).  ``blk`` uses a float32
-  quotient estimate corrected to the exact ceiling with two digit-compare
-  steps each way.
+  int64): block length ``blk = ceil((1023 chips - rem)/step)``, remainder
+  update, and the per-lane sub-chip phase ramp are computed on 4x16-bit
+  digit vectors with carry normalization — exact integer arithmetic, the
+  same sequences as the XLA path's int64.
 * **Loop filters in float32 with a polynomial arctan** (Mosaic lowers
   neither f64 nor atan).  The discriminator/filter equations are the
-  reference's (tracking.py:221-249) evaluated in f32: the discriminators
-  are noise-dominated, and the filter accumulators are O(kHz) corrections
-  where f32's 2^-24 relative error is ~1e-4 Hz — far below both the u32
+  reference's (tracking.py:221-249) in f32: discriminators are
+  noise-dominated and the filter accumulators are O(kHz) corrections
+  where f32's 2^-24 relative error is ~1e-4 Hz — far below the u32
   carrier-NCO quantization (fs/2^32 ~ 0.009 Hz) and the tracking noise
-  floor.  atan uses a 9-term minimax odd polynomial (max err ~1e-7 rad,
-  ~1 f32 ulp at pi/4) with the |x|>1 fold atan(x) = pi/2 - atan(1/x).
-* **NCO steps split basis + delta**: step_q = round(basis/fs*2^40) is a
-  compile-time integer; the in-kernel part is round(-code_nco * 2^40/fs),
-  an i32.  The two roundings can differ from the f64 path's single
-  rounding by 1 Q40 ulp (1e-12 chips/sample) — physically nil, but it
-  means megakernel trajectories are their own numerical lineage: parity
-  is tested against the float64 oracle (<1e-3 RMS, the same budget as the
-  other correlator impls), not bit-compared to the XLA path.  Within the
-  megakernel the recurrence is exactly reproducible, and segment
-  boundaries round-trip the state losslessly (f32 values are exact in
-  f64, digits are exact in int64), so resumed runs are bit-identical to
-  uninterrupted ones (tests/test_megakernel.py).
-* **Frames via Mosaic's own pipeline**: XLA stacks the block's per-ms
-  static windows into an (r, C, win/pack) tensor (plain slices of the
-  block buffer — no gather) and the grid streams (1, C, win/pack) frame
-  blocks HBM->VMEM double-buffered, overlapping the correlator compute —
-  replacing both the per-ms dynamic_slice and the per-call operand setup.
-
-Per-ms correlator math (byte-plane unpack, carrier NCO via f32-mantissa
-turns + polynomial sine, one-hot half-chip contraction against static
-per-tile code tables on the MXU) is identical to track.pallas_kernel —
-see that module and track.tables for the derivations.  Matches reference
-tracking.py:132-275 (the whole per-ms hot loop including loop filters)
-through the same equations.
+  floor.  NCO steps split basis + delta as in round 3, so megakernel
+  trajectories are their own numerical lineage: parity is tested against
+  the float64 oracle (<1e-3 RMS), and segment boundaries round-trip the
+  state losslessly, so resumed runs are bit-identical to uninterrupted
+  ones.
+* **Single f32 output array** (r, C, 16): correlators, discriminators,
+  filter states, boundary fraction, block length, and frame offset — the
+  round-3 i32 output array and its dead zero lanes are gone.
 
 State layout (VMEM scratch, both (C, 16)):
-  stf f32: 0 code_nco, 1 code_err, 2 carr_nco, 3 carr_err, 4..9 pdi acc
-  sti i32: 0 o (frame offset), 1 carr_phase, 2..5 rem digits, 6 ms
+  stf f32: 0 code_nco, 1 code_err, 2 carr_nco, 3 carr_err, 4..9 pdi acc,
+           10 static aiding, 11/12 FLL prompt memory
+  sti i32: 0 P_rel (ptr - buffer start), 1 carr_phase, 2..5 rem digits,
+           6 ms
 """
 
 from __future__ import annotations
@@ -73,14 +69,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from softgnss_tpu.config import ReceiverConfig
-from softgnss_tpu.signals.nco import CODE_FRAC_BITS, CODE_ONE, sin_turns
-from softgnss_tpu.track.pallas_kernel import PHASE_BIAS, grid_shape
-from softgnss_tpu.track.tables import onehot_width, subdivision
-
-#: chunk-size cap (tiles per span chunk): bigger chunks than the
-#: per-ms kernel's 32 amortize the per-chunk fixed work (measured
-#: v5e optimum; config.pallas_k_tiles overrides)
-_MEGA_K_CAP = 75
+from softgnss_tpu.signals.nco import CODE_FRAC_BITS, CODE_ONE
+from softgnss_tpu.track.tables import (
+    MEGA_ALIGN_W,
+    MEGA_PACK,
+    MEGA_PHASE_BIAS,
+    mega_grid,
+    mega_n_words,
+    mega_o_cov,
+    mega_width,
+    mega_window,
+    subdivision,
+)
 
 _M16 = (1 << 16) - 1
 _ND = 4
@@ -91,6 +91,14 @@ _ND = 4
 _ATAN_CS = (0.9999998807907104, -0.33332598209381104, 0.19985906779766083,
             -0.14161226153373718, 0.10498934984207153, -0.07234836369752884,
             0.03978099301457405, -0.014401225373148918, 0.0024566929787397385)
+
+# minimax polynomials for sin(2 pi f) (odd, deg 9) and cos(2 pi f) (even,
+# deg 8) on f in [-0.25, 0.25]; max err ~2e-7 in f32 (Lawson-reweighted
+# least squares)
+_SIN_CS = (6.283185005187988, -41.34165573120117, 81.60100555419922,
+           -76.5498275756836, 39.53703689575195)
+_COS_CS = (0.9999999403953552, -19.739171981811523, 64.9345932006836,
+           -85.24040222167969, 56.24303436279297)
 
 
 def _atan_poly(x):
@@ -105,6 +113,30 @@ def _atan_poly(x):
     a = z * acc
     a = jnp.where(inv, jnp.float32(np.pi / 2) - a, a)
     return jnp.where(x < 0, -a, a)
+
+
+def _sincos_counts(counts):
+    """(sin, cos) of a uint32-turns carrier NCO phase held in int32.
+
+    Quadrant folding in the exact integer domain: ``qp = counts + 2^30``
+    wraps mod 2^32; its sign bit is the half-turn parity and its low 31
+    bits (re-centered) are the residual phase in [-0.25, 0.25) turns —
+    sin(2 pi t) = (-1)^q sin(2 pi f), cos likewise.  One int->f32
+    convert feeds both polynomials.
+    """
+    qp = counts + jnp.int32(0x40000000)
+    fc = (qp & jnp.int32(0x7FFFFFFF)) - jnp.int32(0x40000000)
+    f = fc.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+    t2 = f * f
+    s = jnp.float32(_SIN_CS[-1])
+    for c in _SIN_CS[-2::-1]:
+        s = s * t2 + jnp.float32(c)
+    s = s * f
+    co = jnp.float32(_COS_CS[-1])
+    for c in _COS_CS[-2::-1]:
+        co = co * t2 + jnp.float32(c)
+    sgn = jnp.where(qp < 0, jnp.float32(-1.0), jnp.float32(1.0))
+    return s * sgn, co * sgn
 
 
 # --- 4x16-bit digit arithmetic on i32 lanes ---------------------------------
@@ -183,19 +215,25 @@ def _round_f32_to_i32(x, bound: float):
     return jnp.floor(c + jnp.float32(0.5)).astype(jnp.int32)
 
 
-def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
-            ysf_ref, ysi_ref, sfo_ref, sio_ref, stf, sti, *,
-            config: ReceiverConfig, r: int, pack: int, tile: int,
-            w_oh: int):
-    """One grid step = one millisecond, all channels, all planes/tiles
-    statically unrolled.  See module docstring for the state layout."""
-    j = pl.program_id(0)
-
-    win_pk = config.track_window // pack
-    t_pp = win_pk // tile                           # tiles per byte plane
+def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
+    """One grid step = one millisecond, all channels, all chunks statically
+    unrolled.  See module docstring for the state layout."""
+    n_tab = mega_n_words(config)
+    tab_refs = rest[:n_tab]
+    (hb0_ref, ci_ref, sf_ref, si_ref,
+     ys_ref, sfo_ref, sio_ref, frames, stf, sti, sem) = rest[n_tab:]
+    pack = MEGA_PACK
+    tile = config.track_tile
+    win = mega_window(config)
+    win_w = win // pack
+    w_slab = win_w + MEGA_ALIGN_W
+    spc = config.samples_per_code
+    spc_w = spc // pack
+    k_tiles, t_groups = mega_grid(config)
+    span = k_tiles * tile
     fs = config.sampling_freq
     s_div = subdivision(config)
-    spc = config.samples_per_code
+    ds = int(round(config.dll_correlator_spacing * s_div))
     K = config.pdi_ms
     tau1c, tau2c = config.pll_taus
     tau1d, tau2d = config.dll_taus
@@ -204,8 +242,22 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
     k2 = float(2**32) / fs                          # Hz -> u32 step delta
     sb = _dconst(int(round(config.code_freq_basis / fs * CODE_ONE)))
     len_q = _dconst(config.code_length * CODE_ONE)
-    a_const = _dconst((CODE_ONE - 1) + (PHASE_BIAS << CODE_FRAC_BITS))
+    # ceil bias + the phase bias matching hb0 = base + MEGA_PHASE_BIAS
+    a_const = _dconst((CODE_ONE - 1) + (MEGA_PHASE_BIAS << CODE_FRAC_BITS))
     two_pi = jnp.float32(2.0 * np.pi)
+    a0_align = (p0 * spc_w) >> 7 << 7               # static: buf word 0 is
+    #                                                 absolute frame grid A0
+
+    j = pl.program_id(0)
+
+    def _slab(jj):
+        off = ((p0 + jj) * spc_w >> 7 << 7) - a0_align
+        return pl.multiple_of(jnp.int32(off), MEGA_ALIGN_W)
+
+    def _start(slot, jj):
+        slot = jnp.int32(slot)
+        pltpu.make_async_copy(buf_hbm.at[:, pl.ds(_slab(jj), w_slab)],
+                              frames.at[slot], sem.at[slot]).start()
 
     active = ci_ref[:, 1:2] != 0                    # (C, 1) bool
     activef = active.astype(jnp.float32)
@@ -214,6 +266,11 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
     def _init():
         stf[...] = sf_ref[...]
         sti[...] = si_ref[...]
+        _start(0, 0)
+
+    @pl.when(j + 1 < r)
+    def _next():
+        _start((j + 1) & 1, j + 1)
 
     # --- per-ms prologue: NCO steps and exact block length ------------------
     code_nco = stf[:, 0:1]
@@ -247,7 +304,9 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
     blk = est
     rem_new = d                                      # = rem + step*blk - len_q
 
-    o = sti[:, 0:1]
+    off_j = _slab(j)                                 # scalar i32 (words)
+    p_rel = sti[:, 0:1]
+    o = p_rel - pack * off_j                         # frame sample offset
     rem_eff = _dsub(rem, _dmul_small(step, o))
     a0 = _dadd(_dmul_small(rem_eff, s_div), a_const)
     s_q = _dmul_small(step, s_div)
@@ -256,84 +315,78 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
     sp2 = sp[2] + (sp[3] << 16)
     phase_eff = sti[:, 1:2] - w_carr * o
 
-    # --- correlate: static loops over (byte plane, span chunk); the code
-    # lookup is a span-wide VARIABLE BIT SHIFT, not a one-hot contraction.
-    # Each tile's E/P/L sub-chip code values are +-1, so they pack into
-    # ceil(w/32) uint32 words per (channel, tap, tile); the per-sample code
-    # value is ((word >> h_local) & 1)*2 - 1 after a per-lane broadcast of
-    # the tile words (jnp.repeat).  This replaces the per-ms kernel's
-    # (C, w, tile) one-hot build + MXU dot with ~8 elementwise ops per tap
-    # — and, critically, it has NO per-tile temporaries: Mosaic allocates
-    # unrolled per-tile intermediates without stack reuse, which blew the
-    # 16 MB scoped-VMEM limit at 300 tiles/ms (the bisect is
-    # scripts/mega_vmem_bisect.py).
-    n_words = (w_oh + 31) // 32
-    k_tiles, t_groups = grid_shape(config, default_cap=_MEGA_K_CAP)
-    span = k_tiles * tile
+    slot = jnp.int32(j & 1)
+    pltpu.make_async_copy(buf_hbm.at[:, pl.ds(off_j, w_slab)],
+                          frames.at[slot], sem.at[slot]).wait()
+
+    # --- correlate: static loops over (byte plane, span chunk).  The code
+    # lookup is a per-lane funnel shift of the static joint word sequence
+    # (tables.mega_lane_tables) + three bit tests — no repeats, no
+    # per-tile temporaries.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
-    bias = jnp.int32(PHASE_BIAS)
-    # six span-wide accumulators, reduced to scalars ONCE at the end of the
-    # ms: per-chunk lane reductions (60/ms) cost more than all the
-    # elementwise tap math combined
+    c_dim = active.shape[0]
     acc_sp = [None] * 6
     for b in range(pack):
         a_b = _dadd(a0, _dmul_small(s_q, b))         # plane phase base
-        for gch in range(t_groups):
-            x32 = frames_ref[0, :, gch * span:(gch + 1) * span].astype(
-                jnp.int32)                           # (C, span)
+        for g in range(t_groups):
+            cb = b * t_groups + g
+            x32 = frames[slot, 0:c_dim, g * span:(g + 1) * span]
             v = ((x32 << (24 - 8 * b)) >> 24).astype(jnp.float32)
-            k_base = b + pack * span * gch
+            k_base = b + pack * span * g
             kk = k_base + pack * lane
             mask = jnp.logical_and(kk >= o, kk < o + blk)
             raw = jnp.where(mask, v, jnp.float32(0.0))
 
             counts = (phase_eff + w_carr * k_base) + (w_carr * pack) * lane
-            u32 = pltpu.bitcast(counts, jnp.uint32)
-            mant = (u32 >> 9) | jnp.uint32(0x3F800000)
-            turns = pltpu.bitcast(mant, jnp.float32) - jnp.float32(1.0)
-            bb_i = sin_turns(turns) * raw            # (C, span)
-            bb_q = sin_turns(turns + jnp.float32(0.25)) * raw
+            sn, cs = _sincos_counts(counts)
+            bb_i = sn * raw                          # (C, span)
+            bb_q = cs * raw
+            nb_i = -bb_i
+            nb_q = -bb_q
 
-            a_g = _dadd(a_b, _dmul_u16(_dmul_small(s_q, pack * gch), span))
+            # exact Q40 digit phase ramp; the chunk's sub-chip base
+            # (hb0 = nominal + PHASE_BIAS) is folded into the digits at
+            # the 2^40 scale so the ramp output is already window-relative
+            beta = hb0_ref[:, cb:cb + 1]             # (C, 1)
+            a_g = _dadd(a_b, _dmul_u16(_dmul_small(s_q, pack * g), span))
+            zb = beta * 0
+            a_g = _dsub(a_g, [zb, zb, (beta << 8) & _M16, beta >> 8])
             a0l, a1l = a_g[0], a_g[1]
             a2l = a_g[2] + (a_g[3] << 16)
             t0 = a0l + sp0 * lane                    # (C, span)
             t1 = a1l + sp1 * lane + (t0 >> 16)
             t2 = a2l + sp2 * lane + (t1 >> 16)
-            hrel = t2 >> 8
 
-            gb = b * t_groups + gch                  # chunk index
-            # tables come pre-reshaped to (..., G, k_tiles) so every
-            # in-kernel slice starts at lane 0 — Mosaic's repeat/reshape
-            # lowering rejects lane-offset slices at some widths
-            hb_lane = jnp.repeat(hb_ref[:, gb, :], tile, axis=1)
-            h_local = hrel - (hb_lane + bias)        # (C, span)
-            # No in-window gate on cv: any sample whose h_local leaves the
-            # table window is masked (raw == 0 -> bb == 0), so cv*bb == 0
-            # for ANY finite cv — the overflow check (mega_track_segment /
-            # _frame_overflow) guarantees unmasked samples stay in
+            sl = slice(cb * span, (cb + 1) * span)
+            ws = [pltpu.bitcast(t_ref[:, sl], jnp.uint32)
+                  for t_ref in tab_refs]
+            h_local = (t2 >> 8) - (tab_refs[-1][:, sl] >> 16)
+            # No in-window gate: any sample whose h_local leaves the table
+            # window is masked (raw == 0 -> bb == 0), so its tap products
+            # are 0 for ANY bit pattern — the overflow check
+            # (mega_track_segment) guarantees unmasked samples stay in
             # coverage.  Only the shift amount needs clamping.
-            hc0 = jnp.minimum(jnp.maximum(h_local, jnp.int32(0)),
-                              jnp.int32(31))
-            for x in range(3):                       # E / P / L taps
-                if n_words == 1:
-                    bits_lane = jnp.repeat(
-                        codes_ref[:, x, 0, gb, :], tile, axis=1)
-                    valbit = (bits_lane >> hc0) & 1
+            hc = jnp.minimum(jnp.maximum(h_local, jnp.int32(0)),
+                             jnp.int32(32 * n_tab - 1))
+            hcu = pltpu.bitcast(hc, jnp.uint32)
+            hs = hcu & jnp.uint32(31)
+            # funnel: 32-bit window of the joint word sequence at bit hc.
+            # Valid lanes read bits hc..hc+2ds, which never reach the last
+            # word's non-code bits (mega_lane_tables reserves them), so
+            # the missing high word of the last pair can be anything.
+            sh = None
+            for u in range(n_tab):
+                whi = ws[u + 1] if u + 1 < n_tab else ws[u]
+                sh_u = (ws[u] >> hs) | ((whi << (jnp.uint32(31) - hs))
+                                        << jnp.uint32(1))
+                if sh is None:
+                    sh = sh_u
                 else:
-                    valbit = jnp.zeros_like(h_local)
-                    for u in range(n_words):
-                        bits_lane = jnp.repeat(
-                            codes_ref[:, x, u, gb, :], tile, axis=1)
-                        hs = h_local - 32 * u
-                        sel = jnp.logical_and(hs >= 0, hs < 32)
-                        hc = jnp.minimum(jnp.maximum(hs, jnp.int32(0)),
-                                         jnp.int32(31))
-                        valbit = jnp.where(sel, (bits_lane >> hc) & 1,
-                                           valbit)
-                cv = (2 * valbit - 1).astype(jnp.float32)
-                ti = cv * bb_i
-                tq = cv * bb_q
+                    sh = jnp.where((hc >> 5) == u, sh_u, sh)
+            for x, bit in enumerate((1, 1 << ds, 1 << (2 * ds))):
+                up = (sh & jnp.uint32(bit)) != 0
+                ti = jnp.where(up, bb_i, nb_i)
+                tq = jnp.where(up, bb_q, nb_q)
                 acc_sp[x] = ti if acc_sp[x] is None else acc_sp[x] + ti
                 acc_sp[3 + x] = (tq if acc_sp[3 + x] is None
                                  else acc_sp[3 + x] + tq)
@@ -395,19 +448,17 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
 
     # per-slot stores: Mosaic's tpu.concatenate miscompiles wide fan-in
     # concats of (C, 1) vectors, so outputs and state are written lane by
-    # lane (each store is a cheap masked (C, 16) op)
+    # lane (each store is a cheap masked (C, 16) op).  Lanes 13..15 are
+    # never stored and undefined.
     for i in range(6):
-        ysf_ref[0, :, i:i + 1] = corr[i] * activef
-    ysf_ref[0, :, 6:7] = code_err * activef
-    ysf_ref[0, :, 7:8] = code_nco_n * activef
-    ysf_ref[0, :, 8:9] = carr_err * activef
-    ysf_ref[0, :, 9:10] = carr_nco_n * activef
-    ysf_ref[0, :, 10:11] = frac * activef
-    ysf_ref[0, :, 11:16] = jnp.zeros((activef.shape[0], 5), jnp.float32)
-    ai32 = active.astype(jnp.int32)
-    ysi_ref[0, :, 0:1] = blk * ai32
-    ysi_ref[0, :, 1:2] = o
-    ysi_ref[0, :, 2:8] = jnp.zeros((activef.shape[0], 6), jnp.int32)
+        ys_ref[0, :, i:i + 1] = corr[i] * activef
+    ys_ref[0, :, 6:7] = code_err * activef
+    ys_ref[0, :, 7:8] = code_nco_n * activef
+    ys_ref[0, :, 8:9] = carr_err * activef
+    ys_ref[0, :, 9:10] = carr_nco_n * activef
+    ys_ref[0, :, 10:11] = frac * activef
+    ys_ref[0, :, 11:12] = blk.astype(jnp.float32) * activef
+    ys_ref[0, :, 12:13] = o.astype(jnp.float32) * activef
 
     stf[:, 0:1] = jnp.where(active, code_nco_n, stf[:, 0:1])
     stf[:, 1:2] = jnp.where(active, code_err, stf[:, 1:2])
@@ -418,7 +469,7 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
                                         stf[:, 4 + i:5 + i])
     stf[:, 11:12] = jnp.where(active, fll_new[0], stf[:, 11:12])
     stf[:, 12:13] = jnp.where(active, fll_new[1], stf[:, 12:13])
-    sti[:, 0:1] = jnp.where(active, o + blk - spc, sti[:, 0:1])
+    sti[:, 0:1] = jnp.where(active, p_rel + blk, sti[:, 0:1])
     sti[:, 1:2] = jnp.where(active, sti[:, 1:2] + w_carr * blk, sti[:, 1:2])
     for i in range(_ND):
         sti[:, 2 + i:3 + i] = jnp.where(active, rem_new[i],
@@ -431,60 +482,53 @@ def _kernel(frames_ref, codes_ref, hb_ref, ci_ref, sf_ref, si_ref,
         sio_ref[...] = sti[...]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _mega_call(config: ReceiverConfig, r: int, frames, codes_t, hb,
-               consts_i, state_f, state_i):
-    """Invoke the megakernel on ``r`` stacked frames.  Returns
-    (ys_f (r,C,16), ys_i (r,C,8), state_f' (C,16), state_i' (C,16))."""
-    c = frames.shape[1]
-    pack = config.track_pack
-    tile = config.track_tile
-    w_oh = onehot_width(config)
-    win_pk = config.track_window // pack
-    assert win_pk <= 1 << 15, (
-        "track window too large for the in-kernel 16-bit phase-digit ramp")
-    assert config.samples_per_code + 64 < 1 << 16, (
-        "samples_per_code too large for the in-kernel u16 block math")
-
-    k_tiles, t_groups = grid_shape(config, default_cap=_MEGA_K_CAP)
-    g = pack * t_groups
-    kernel = functools.partial(
-        _kernel, config=config, r=r, pack=pack, tile=tile, w_oh=w_oh)
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _mega_call(config: ReceiverConfig, r: int, p0: int, buf, tabs,
+               hb0, consts_i, state_f, state_i):
+    """Invoke the megakernel on an HBM-resident per-channel block buffer.
+    Returns (ys (r,C,16) f32, state_f' (C,16), state_i' (C,16))."""
+    c = tabs.shape[0]
+    n_tab = tabs.shape[1]
+    win = tabs.shape[2]
+    c8 = buf.shape[0]                    # channel rows padded to 8-multiple
+    win_w = mega_window(config) // MEGA_PACK
+    w_slab = win_w + MEGA_ALIGN_W
+    n_chunks = hb0.shape[1]
+    kernel = functools.partial(_kernel, config=config, r=r, p0=p0)
     zmap2 = lambda j: (j * 0, j * 0)                 # noqa: E731
-    zmap3 = lambda j: (j * 0, j * 0, j * 0)          # noqa: E731
-    zmap5 = lambda j: (j * 0, j * 0, j * 0, j * 0, j * 0)   # noqa: E731
-    ysf, ysi, sfo, sio = pl.pallas_call(
+    ys, sfo, sio = pl.pallas_call(
         kernel,
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, c, win_pk), lambda j: (j, j * 0, j * 0)),
-            pl.BlockSpec((c, 3, (w_oh + 31) // 32, g, k_tiles), zmap5),
-            pl.BlockSpec((c, g, k_tiles), zmap3),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ] + [pl.BlockSpec((c, win), zmap2)] * n_tab + [
+            pl.BlockSpec((c, n_chunks), zmap2),
             pl.BlockSpec((c, 8), zmap2),
             pl.BlockSpec((c, 16), zmap2),
             pl.BlockSpec((c, 16), zmap2),
         ],
         out_specs=(
             pl.BlockSpec((1, c, 16), lambda j: (j, j * 0, j * 0)),
-            pl.BlockSpec((1, c, 8), lambda j: (j, j * 0, j * 0)),
             pl.BlockSpec((c, 16), zmap2),
             pl.BlockSpec((c, 16), zmap2),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((r, c, 16), jnp.float32),
-            jax.ShapeDtypeStruct((r, c, 8), jnp.int32),
             jax.ShapeDtypeStruct((c, 16), jnp.float32),
             jax.ShapeDtypeStruct((c, 16), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((c, 16), jnp.float32),   # stf
-            pltpu.VMEM((c, 16), jnp.int32),     # sti
+            pltpu.VMEM((2, c8, w_slab), jnp.int32),   # DMA frames
+            pltpu.VMEM((c, 16), jnp.float32),         # stf
+            pltpu.VMEM((c, 16), jnp.int32),           # sti
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=jax.default_backend() != "tpu",
-    )(frames, codes_t, hb, consts_i, state_f, state_i)
-    return ysf, ysi, sfo, sio
+    )(buf, *(tabs[:, u] for u in range(n_tab)), hb0,
+      consts_i, state_f, state_i)
+    return ys, sfo, sio
 
 
 def _digits_i64(v):
@@ -502,26 +546,38 @@ def _i64_from_digits(d):
     return acc
 
 
-def mega_track_segment(config: ReceiverConfig, frames, fb0, codes_t, hb,
-                       carr_basis, active, st):
-    """Track ``r = frames.shape[0]`` consecutive milliseconds for all
-    channels in one fused kernel call.
+def _mega_overflow(config: ReceiverConfig, active, o, blk):
+    """>0 when a frame cannot represent its millisecond: the true span
+    [o, o+blk) leaves the static slab, or the frame offset exceeds the
+    per-lane table coverage (tables.mega_o_cov) — beyond it, in-window
+    samples' h_local falls outside the joint-word window and would
+    silently corrupt the correlators."""
+    bad = jnp.maximum(-o, o + blk - mega_window(config))
+    bad = jnp.maximum(bad, o - mega_o_cov(config))
+    return jnp.where(active, jnp.maximum(bad, 0), jnp.int64(0))
 
-    ``frames``: (r, C, track_window/pack) packed windows; frame ``i``'s
-    element 0 is absolute capture sample ``fb0 + i*samples_per_code``
-    (``fb0``: (C,) int64).  Returns (new_state, MsOutputs with (r, C)
-    leaves, overflow) — the same contract as scanning
-    scan._frame_ms_packed over the frames, with this kernel's own f32
-    loop-filter numerics (module docstring).
+
+def mega_track_segment(config: ReceiverConfig, r: int, p0: int, buf, fb0,
+                       tables, carr_basis, active, st):
+    """Track ``r`` consecutive milliseconds for all channels in one fused
+    kernel call.
+
+    ``buf``: (C8, buf_len/4) int32 per-channel block buffer (channel rows
+    padded to a multiple of 8 for the in-kernel DMA slab; padding rows are
+    ignored); element 0 of row c is absolute capture sample ``fb0[c]``
+    ((C,) int64, a multiple of 4).  ``p0`` is the block-grid phase of the
+    first millisecond: in-kernel frame offsets are anchored at the
+    absolute millisecond ``p0 + j`` so resumed runs regroup identically.
+    Returns (new_state, MsOutputs with (r, C) leaves, overflow) — the same
+    contract as scanning scan._frame_ms_packed over per-ms frames, with
+    this kernel's own f32 loop-filter numerics (module docstring).
     """
     from softgnss_tpu.signals.nco import carrier_step_u32
-    from softgnss_tpu.track.scan import (MsOutputs, TrackState,
-                                         _frame_overflow)
+    from softgnss_tpu.track.scan import MsOutputs, TrackState
 
-    r = frames.shape[0]
     fs = config.sampling_freq
 
-    o0 = (st.ptr - fb0).astype(jnp.int32)
+    o0 = (st.ptr - fb0).astype(jnp.int32)            # P_rel at entry
     w_basis = carrier_step_u32(carr_basis, fs)
     consts_i = jnp.stack(
         [w_basis, active.astype(jnp.int32)] + [jnp.zeros_like(w_basis)] * 6,
@@ -543,18 +599,20 @@ def mega_track_segment(config: ReceiverConfig, frames, fb0, codes_t, hb,
          st.ms.astype(jnp.int32)[:, None],
          jnp.zeros((o0.shape[0], 9), jnp.int32)], axis=1)
 
-    ysf, ysi, sfo, sio = _mega_call(config, r, frames, codes_t, hb,
-                                    consts_i, state_f, state_i)
+    ys, sfo, sio = _mega_call(config, r, p0, buf,
+                              jnp.asarray(tables.mega_tabs),
+                              jnp.asarray(tables.mega_hb0),
+                              consts_i, state_f, state_i)
 
-    blk = ysi[:, :, 0].astype(jnp.int64)                     # (r, C)
+    blk = ys[:, :, 11].astype(jnp.int64)                     # (r, C)
     ptr_series = st.ptr[None, :] + jnp.cumsum(blk, axis=0)
-    o_entry = ysi[:, :, 1].astype(jnp.int64)
-    ovf = jax.vmap(lambda o, bl: _frame_overflow(config, active, o, bl))(
+    o_entry = ys[:, :, 12].astype(jnp.int64)
+    ovf = jax.vmap(lambda o, bl: _mega_overflow(config, active, o, bl))(
         o_entry, blk).max()
 
     basis = jnp.float64(config.code_freq_basis)
-    code_nco = ysf[:, :, 7].astype(jnp.float64)
-    carr_nco = ysf[:, :, 9].astype(jnp.float64)
+    code_nco = ys[:, :, 7].astype(jnp.float64)
+    carr_nco = ys[:, :, 9].astype(jnp.float64)
     if config.carrier_aided_dll:
         aid_series = aid0.astype(jnp.float64)[None, :] + ratio * carr_nco
         aid_final = (aid0.astype(jnp.float64)
@@ -565,16 +623,16 @@ def mega_track_segment(config: ReceiverConfig, frames, fb0, codes_t, hb,
     zf = jnp.float64(0.0)
     outs = MsOutputs(
         absolute_sample=jnp.where(active[None, :], ptr_series, jnp.int64(0)),
-        sample_frac=ysf[:, :, 10].astype(jnp.float64),
+        sample_frac=ys[:, :, 10].astype(jnp.float64),
         code_freq=jnp.where(active[None, :],
                             basis - code_nco + aid_series, zf),
         carr_freq=jnp.where(active[None, :],
                             carr_basis[None, :] + carr_nco, zf),
-        i_p=ysf[:, :, 1], i_e=ysf[:, :, 0], i_l=ysf[:, :, 2],
-        q_e=ysf[:, :, 3], q_p=ysf[:, :, 4], q_l=ysf[:, :, 5],
-        dll_discr=ysf[:, :, 6].astype(jnp.float64),
+        i_p=ys[:, :, 1], i_e=ys[:, :, 0], i_l=ys[:, :, 2],
+        q_e=ys[:, :, 3], q_p=ys[:, :, 4], q_l=ys[:, :, 5],
+        dll_discr=ys[:, :, 6].astype(jnp.float64),
         dll_discr_filt=code_nco,
-        pll_discr=ysf[:, :, 8].astype(jnp.float64),
+        pll_discr=ys[:, :, 8].astype(jnp.float64),
         pll_discr_filt=carr_nco,
     )
 
@@ -597,35 +655,3 @@ def mega_track_segment(config: ReceiverConfig, frames, fb0, codes_t, hb,
         fll_ip=sfo[:, 11], fll_qp=sfo[:, 12],
     )
     return new, outs, ovf
-
-
-def mega_tables(config: ReceiverConfig, tables):
-    """Bit-packed code tables (C, 3, n_words, G, k_tiles) i32 + one-hot
-    bases (C, G, k_tiles) i32, where G = pack * t_groups chunks of
-    k_tiles tiles each (tile t = gb*k_tiles + k).
-
-    bits[c, x, u, gb, k] holds sub-chip code values u*32..u*32+31 of tap
-    x (E/P/L) at that tile as sign bits (1 = +1 chip): the kernel's
-    per-sample code lookup is ``((bits >> h_local) & 1)*2 - 1`` — see
-    _kernel.  Bit h of an int32 survives ARITHMETIC
-    right-shift-then-mask, so the u32 patterns are stored bit-exactly in
-    i32.  The chunk axis is explicit so every in-kernel slice starts at
-    lane 0 (Mosaic's repeat lowering rejects lane-offset slices at some
-    chunk widths)."""
-    cs = jnp.asarray(tables.codes_static)            # (C, T, w, 3) +-1 f32
-    c, t_count, w, _ = cs.shape
-    n_words = (w + 31) // 32
-    k_tiles, t_groups = grid_shape(config, default_cap=_MEGA_K_CAP)
-    g = config.track_pack * t_groups
-    pos = jnp.transpose(cs > 0, (0, 3, 1, 2)).astype(jnp.int32)  # (C,3,T,w)
-    words = []
-    for u in range(n_words):
-        wsl = pos[:, :, :, 32 * u:min(w, 32 * u + 32)]
-        sh = jnp.arange(wsl.shape[-1], dtype=jnp.int32)
-        # disjoint bits: the sum is carry-free (== bitwise OR); bit 31's
-        # i32 wraparound is the intended two's-complement pattern
-        words.append(jnp.sum(wsl << sh, axis=-1).astype(jnp.int32))
-    codes_bits = jnp.stack(words, axis=2)            # (C, 3, n_words, T)
-    codes_bits = codes_bits.reshape(c, 3, n_words, g, k_tiles)
-    hb = jnp.asarray(tables.h_base).astype(jnp.int32).reshape(c, g, k_tiles)
-    return codes_bits, hb

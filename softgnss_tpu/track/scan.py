@@ -653,9 +653,7 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
             raise ValueError(
                 f"track_pack={pack} requires an int8 capture, got {signal.dtype}")
         sig_pack = _packed_view(signal, pack)
-        if impl in ("pallas", "megakernel"):
-            # per-ms fused step: the 'pallas' path, and the megakernel's
-            # fallback when block mode is unavailable (short captures)
+        if impl == "pallas":
             from softgnss_tpu.track.pallas_kernel import hb_span_map
 
             codes_t = jnp.transpose(jnp.asarray(tables.codes_static),
@@ -666,6 +664,9 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
                 return _frame_ms_pallas(config, frame, base, codes_t,
                                         hb_span, cb, act, st)
         else:
+            # the XLA one-hot packed step: the 'onehot' path, and the
+            # megakernel's fallback when block mode is unavailable
+            # (short captures)
             step_fn_packed = jax.vmap(
                 lambda frame, base, tab, cb, act, st: _frame_ms_packed(
                     config, frame, base, tab, cb, act, st),
@@ -699,35 +700,47 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
     n_full = (n_ms - lead) // B if B > 1 else 0
     r_tail = n_ms - lead - n_full * B if B > 1 else 0
     longest = max(lead, B if n_full else 0, r_tail)
-    use_blocks = (B > 1 and n_ms > 0 and spc < win <= 2 * spc
-                  and sig_len >= (longest + 1) * spc)
+    if impl == "megakernel":
+        from softgnss_tpu.track.tables import mega_window
+
+        eff_win = mega_window(config)
+        # the longest segment's per-channel buffer must fit the capture
+        longest_need = longest * spc + eff_win + 1024
+    else:
+        eff_win = win
+        longest_need = (longest + 1) * spc
+    use_blocks = (B > 1 and n_ms > 0 and spc < eff_win <= 2 * spc
+                  and sig_len >= longest_need)
     if not use_blocks:
         (final, ovf), ys = jax.lax.scan(ms_step, (state0, zero), None, length=n_ms)
         return final, ys, ovf
 
     if impl == "megakernel":
         # whole-segment fused kernel: one pallas_call per (partial) block,
-        # loop filters and NCO digits carried in VMEM scratch
-        from softgnss_tpu.track.megakernel import (mega_tables,
-                                                   mega_track_segment)
+        # loop filters / NCO digits in VMEM scratch, per-ms frames fetched
+        # by in-kernel DMA from the HBM block buffer (megakernel docstring)
+        from softgnss_tpu.track.megakernel import mega_track_segment
 
-        codes_mega, hb_mega = mega_tables(config, tables)
-        spc_pk = spc // pack
-        win_pk = win // pack
+        spc_w = spc // pack
+        c_dim = int(active.shape[0])
+        c8 = max(8, (c_dim + 7) // 8 * 8)
 
         def scan_segment(carry, base, p0: int, r: int):
             st2, ovf2 = carry
-            buf_len = (r + 1) * spc
-            start = jnp.clip(base + p0 * spc,
+            # buffer word 0 sits at the block's absolute frame-grid origin
+            # (128-word-aligned relative to the block base), so in-kernel
+            # slab offsets depend only on the absolute millisecond p0+j —
+            # a resumed run reads bit-identical frames
+            a0_align = (p0 * spc_w) >> 7 << 7
+            buf_len = r * spc + eff_win + 1024
+            start = jnp.clip(base // pack * pack + pack * a0_align,
                              0, sig_len // pack * pack - buf_len)
-            start = start // pack * pack
+            starts8 = (start if c8 == c_dim else jnp.concatenate(
+                [start, jnp.broadcast_to(start[:1], (c8 - c_dim,))]))
             buf = jax.vmap(lambda p: jax.lax.dynamic_slice(
-                sig_pack, (p // pack,), (buf_len // pack,)))(start)
-            frames = jnp.stack(
-                [buf[:, i * spc_pk:i * spc_pk + win_pk] for i in range(r)], 0)
+                sig_pack, (p // pack,), (buf_len // pack,)))(starts8)
             new, outs, ov = mega_track_segment(
-                config, frames, start, codes_mega, hb_mega, carr_basis,
-                active, st2)
+                config, r, p0, buf, start, tables, carr_basis, active, st2)
             return (new, jnp.maximum(ovf2, ov)), outs
     else:
         scan_segment = None  # defined below

@@ -45,6 +45,13 @@ class CorrelatorTables(NamedTuple):
     codes_static: np.ndarray
     #: (C, n_tiles) nominal half-chip index at each tile start, minus margin
     h_base: np.ndarray
+    #: megakernel per-LANE joint code words (C, mega_n_words, mega_window)
+    #: i32 — the last word's bits 16.. carry the lane's sub-chip base
+    #: offset; a (C, 1, 1) placeholder when the megakernel is not in use.
+    #: See :func:`mega_lane_tables`
+    mega_tabs: np.ndarray = np.zeros((0, 1, 1), np.int32)
+    #: (C, n_chunks) per-chunk sub-chip base + PHASE_BIAS
+    mega_hb0: np.ndarray = np.zeros((0, 1), np.int32)
 
 
 #: margin sub-chips above/below a tile's nominal span.  Bound: remainder
@@ -130,6 +137,154 @@ def _sub_chip_tables(code_pad: np.ndarray, s: int, ds: int) -> np.ndarray:
     return np.stack([e, p, late], axis=1).astype(np.float32)
 
 
+# --- megakernel per-lane geometry --------------------------------------------
+# The multi-ms fused kernel (track.megakernel) fetches its per-ms sample
+# frame with an in-kernel DMA whose offset must be 128-word (512-sample at
+# the int32 capture view) aligned, so the frame offset ``o`` floats in
+# [0, ~512 + frame slack) — wider than the block-mode o of the XLA paths.
+# Its code tables are expanded to PER-LANE words (one i32 pair per capture
+# sample position), which removes the per-tile window quantization: the
+# static window only has to cover o-drift + margins, independent of the
+# tile span, so the three taps pack into <= 48 joint bits per lane.
+
+#: the megakernel consumes the capture through the int32 view
+MEGA_PACK = 4
+#: DMA slab alignment, in int32 words (the TPU lane-tile width)
+MEGA_ALIGN_W = 128
+#: sub-chip bias keeping every in-kernel phase positive (matches
+#: pallas_kernel.PHASE_BIAS; re-declared here to avoid an import cycle)
+MEGA_PHASE_BIAS = 1 << 10
+
+
+def mega_window(config: ReceiverConfig) -> int:
+    """Static sample window of the megakernel's per-ms frame slab: one code
+    period + block-mode drift slack + the <= 511-sample DMA-alignment
+    residual, rounded up to whole byte planes of whole lane tiles."""
+    mult = config.track_tile * MEGA_PACK
+    w = (config.samples_per_code + config.track_window_extra
+         + 2 * config.track_frame_pre + MEGA_ALIGN_W * MEGA_PACK)
+    return (w + mult - 1) // mult * mult
+
+
+def mega_o_cov(config: ReceiverConfig) -> int:
+    """Upper bound on the in-frame offset ``o`` the per-lane tables cover."""
+    return (MEGA_ALIGN_W * MEGA_PACK - 1 + 2 * config.track_frame_pre
+            + config.track_window_extra)
+
+
+def mega_grid(config: ReceiverConfig, default_cap: int = 76) -> tuple[int, int]:
+    """(k_tiles, t_groups) for the megakernel's chunk loop over its own
+    window (cf. pallas_kernel.grid_shape, which uses track_window)."""
+    t_pp = (mega_window(config) // MEGA_PACK) // config.track_tile
+    cap = config.pallas_k_tiles or default_cap
+    k_tiles = max(d for d in range(1, min(cap + 1, t_pp + 1)) if t_pp % d == 0)
+    return k_tiles, t_pp // k_tiles
+
+
+def _mega_shift_subchips(config: ReceiverConfig) -> int:
+    """Sub-chips the code phase at a fixed frame lane can sit below the
+    o=0 nominal (cf. _frame_shift_subchips, with the wider mega o range)."""
+    s = subdivision(config)
+    s_chips = config.code_freq_basis / config.sampling_freq
+    return int(np.ceil(s * s_chips * mega_o_cov(config)))
+
+
+def mega_width(config: ReceiverConfig) -> int:
+    """Joint per-lane code-word width in bits: the E tap's sub-chip window
+    plus the P/L taps' constant offsets."""
+    s = subdivision(config)
+    ds = int(round(config.dll_correlator_spacing * s))
+    return s + 4 + _mega_shift_subchips(config) + 2 * ds
+
+
+def mega_n_words(config: ReceiverConfig) -> int:
+    """i32 words per lane holding the joint code bits, with 16 bits of the
+    last word reserved for the lane's sub-chip base offset.  2 at the
+    reference front end (fs=38.192 MHz); more only for low-fs configs
+    whose per-sample chip advance magnifies the o-residual window (those
+    run interpreted on CPU in tests, where width is free)."""
+    return (mega_width(config) + 16 + 31) // 32
+
+
+def mega_lane_samples(config: ReceiverConfig) -> np.ndarray:
+    """(mega_window,) capture-sample index of each table lane, in the
+    kernel's chunk-processing order: chunk cb = b*t_groups + g, lane l
+    within the chunk handles sample MEGA_PACK*(g*span + l) + b."""
+    k_tiles, t_groups = mega_grid(config)
+    span = k_tiles * config.track_tile
+    lam = np.arange(span)
+    ks = [MEGA_PACK * (g * span + lam) + b
+          for b in range(MEGA_PACK) for g in range(t_groups)]
+    return np.concatenate(ks)
+
+
+def mega_lane_tables(config: ReceiverConfig, prns: np.ndarray,
+                     acquired_freq: np.ndarray | None
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-lane joint E/P/L code words for the megakernel.
+
+    Returns (tabs (C, n_words, W) i32, hb0 (C, n_chunks) i32),
+    W = mega_window, n_words = mega_n_words.  For table lane ``l``
+    (capture sample k(l), nominal sub-chip base hb(l)), bit ``p`` of the
+    word sequence tabs[:, 0..] (32 bits per word; the last word's bits
+    16.. are NOT code bits) is the sign of the sub-chip P-tap code at
+    index hb(l) - ds + p, so a sample whose half-chip index is
+    h = hb(l) + h_local reads E/P/L at sequence bits h_local,
+    h_local+ds, h_local+2ds.  The last word's bits 16.. carry
+    hb(l) - hb0[chunk(l)], and hb0 (+ MEGA_PHASE_BIAS) is folded into
+    the kernel's per-chunk phase digits, so
+    h_local = exact_phase_ramp(l) - (tabs[-1] >> 16).
+    """
+    c = len(prns)
+    s = subdivision(config)
+    ds = int(round(config.dll_correlator_spacing * s))
+    w_bits = mega_width(config)
+    n_words = mega_n_words(config)
+    if n_words > 16:
+        raise ValueError(
+            f"megakernel joint code width {w_bits} bits needs {n_words} "
+            "words; this front end's per-sample chip advance is too coarse "
+            "— use another correlator_impl")
+    win = mega_window(config)
+    k_tiles, t_groups = mega_grid(config)
+    span = k_tiles * config.track_tile
+    n_chunks = MEGA_PACK * t_groups
+    k = mega_lane_samples(config).astype(np.float64)          # (win,)
+    shift = _mega_shift_subchips(config)
+
+    tabs = np.zeros((c, n_words, win), np.int64)
+    hb0 = np.zeros((c, n_chunks), np.int64)
+    p_arange = np.arange(w_bits)
+    for i in range(c):
+        if prns[i] <= 0:
+            continue
+        pad = ca.padded_code(int(prns[i])).astype(np.float32)
+        g_idx = np.arange(s * 1023 + 4 * s + 8)
+        base1d = pad[np.clip((g_idx + s - 1) // s, 0, 1024)]  # P-tap sub-chip
+        doppler = (0.0 if acquired_freq is None
+                   else acquired_freq[i] - config.intermediate_freq)
+        fc_eff = config.code_freq_basis * (1.0 + doppler / config.l1_freq)
+        s_chips = fc_eff / config.sampling_freq
+        hb = (np.floor(s * s_chips * k).astype(np.int64)
+              - _H_OFFSET - shift)                            # (win,)
+        hb_c = hb.reshape(n_chunks, span)
+        hb0[i] = hb_c[:, 0]
+        hb_rel = (hb_c - hb_c[:, :1]).reshape(win)
+        if hb_rel.max() >= 1 << 12:
+            raise ValueError("megakernel chunk span too wide for the "
+                             "12-bit per-lane sub-chip offset; lower "
+                             "config.pallas_k_tiles")
+        idx = hb[:, None] - ds + p_arange[None, :]            # (win, w_bits)
+        bits = (base1d[np.clip(idx, 0, len(base1d) - 1)] > 0).astype(np.int64)
+        for u in range(n_words):
+            sel = bits[:, 32 * u:min(w_bits, 32 * u + 32)]
+            sh = np.arange(sel.shape[1])
+            word = np.sum(sel << sh, axis=1)
+            tabs[i, u] = word - ((word >> 31) << 32)   # two's-complement
+        tabs[i, n_words - 1] |= hb_rel << 16
+    return tabs.astype(np.int32), (hb0 + MEGA_PHASE_BIAS).astype(np.int32)
+
+
 def build_tables(config: ReceiverConfig, prns: np.ndarray,
                  acquired_freq: np.ndarray | None = None) -> CorrelatorTables:
     """Build correlator tables for a channel set.
@@ -167,4 +322,9 @@ def build_tables(config: ReceiverConfig, prns: np.ndarray,
         h_base[i] = base
         idx = base[:, None] + np.arange(w)[None, :]        # (T, w)
         codes_static[i] = sub[np.clip(idx, 0, len(sub) - 1)]
-    return CorrelatorTables(code_pads, codes_static, h_base)
+    if config.resolved_correlator == "megakernel":
+        mt, mh = mega_lane_tables(config, prns, acquired_freq)
+    else:
+        mt = np.zeros((c, 1, 1), np.int32)
+        mh = np.zeros((c, 1), np.int32)
+    return CorrelatorTables(code_pads, codes_static, h_base, mt, mh)
