@@ -12,10 +12,12 @@ including loop filters) through the same equations.
 Round-4 design (see BASELINE.md for the measured history):
 
 * **Frames via in-kernel DMA, not XLA assembly.**  The per-channel block
-  buffer (sliced from the int32 capture view — the measured-fast XLA
-  gather) stays in HBM; each grid step issues one double-buffered
-  ``make_async_copy`` of a (C, win/4 + 128) i32 slab at a 128-word-aligned
-  offset.  The <= 511-sample alignment residual rides the in-frame offset
+  buffer (sliced from the int32 capture view) stays in HBM; each grid
+  step copies one (C, win/4 + 128) i32 slab at a 128-word-aligned offset
+  into a single VMEM slab — the next millisecond's copy is issued right
+  after the correlator's last read, hiding it behind the loop-filter
+  tail and the next prologue (a two-slot buffer would force dynamic-slot
+  VMEM reads, which Mosaic resolves with per-chunk copies).  The <= 511-sample alignment residual rides the in-frame offset
   ``o``.  This removes the round-3 (r, C, win/pack) frame-stack assembly
   that cost ~7 us/step of HBM round-trips at ~55 GB/s.  Offsets are
   anchored at the ABSOLUTE millisecond (static ``p0`` = block phase), so a
@@ -254,10 +256,9 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
         off = ((p0 + jj) * spc_w >> 7 << 7) - a0_align
         return pl.multiple_of(jnp.int32(off), MEGA_ALIGN_W)
 
-    def _start(slot, jj):
-        slot = jnp.int32(slot)
+    def _start(jj):
         pltpu.make_async_copy(buf_hbm.at[:, pl.ds(_slab(jj), w_slab)],
-                              frames.at[slot], sem.at[slot]).start()
+                              frames, sem).start()
 
     active = ci_ref[:, 1:2] != 0                    # (C, 1) bool
     activef = active.astype(jnp.float32)
@@ -266,11 +267,7 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
     def _init():
         stf[...] = sf_ref[...]
         sti[...] = si_ref[...]
-        _start(0, 0)
-
-    @pl.when(j + 1 < r)
-    def _next():
-        _start((j + 1) & 1, j + 1)
+        _start(0)
 
     # --- per-ms prologue: NCO steps and exact block length ------------------
     code_nco = stf[:, 0:1]
@@ -296,11 +293,12 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
         low = _dneg_mask(d)
         est = est + low
         d = _dwhere(low != 0, _dadd(d, step), d)
-    for _ in range(2):                               # est too big: d-step >= 0
-        d2 = _dsub(d, step)
-        high = jnp.logical_and(_dneg_mask(d2) == 0, est > 0)
-        est = est - high.astype(jnp.int32)
-        d = _dwhere(high, d2, d)
+    # est <= ceil(numer/step) by construction (f32 quotient error ~5e-3
+    # << 1); one guarded decrement covers the near-integer edge
+    d2 = _dsub(d, step)
+    high = jnp.logical_and(_dneg_mask(d2) == 0, est > 0)
+    est = est - high.astype(jnp.int32)
+    d = _dwhere(high, d2, d)
     blk = est
     rem_new = d                                      # = rem + step*blk - len_q
 
@@ -309,15 +307,20 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
     o = p_rel - pack * off_j                         # frame sample offset
     rem_eff = _dsub(rem, _dmul_small(step, o))
     a0 = _dadd(_dmul_small(rem_eff, s_div), a_const)
+    # fold the per-channel table base (hb00 + PHASE_BIAS) into the digits
+    # once per ms, at the 2^40 scale (h_local = ramp>>40 - per-lane offset)
+    beta = hb0_ref[:, 0:1]                           # (C, 1)
+    zb = beta * 0
+    a0 = _dsub(a0, [zb, zb, (beta << 8) & _M16, beta >> 8])
     s_q = _dmul_small(step, s_div)
     sp = _dmul_small(s_q, pack)
+    d_grp = _dmul_u16(s_q, pack * span)              # phase per span group
     sp0, sp1 = sp[0], sp[1]
     sp2 = sp[2] + (sp[3] << 16)
     phase_eff = sti[:, 1:2] - w_carr * o
 
-    slot = jnp.int32(j & 1)
     pltpu.make_async_copy(buf_hbm.at[:, pl.ds(off_j, w_slab)],
-                          frames.at[slot], sem.at[slot]).wait()
+                          frames, sem).wait()
 
     # --- correlate: static loops over (byte plane, span chunk).  The code
     # lookup is a per-lane funnel shift of the static joint word sequence
@@ -326,11 +329,16 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
     c_dim = active.shape[0]
     acc_sp = [None] * 6
+    a_b = a0
     for b in range(pack):
-        a_b = _dadd(a0, _dmul_small(s_q, b))         # plane phase base
+        if b:
+            a_b = _dadd(a_b, s_q)                    # plane phase base
+        a_g = a_b
         for g in range(t_groups):
+            if g:
+                a_g = _dadd(a_g, d_grp)
             cb = b * t_groups + g
-            x32 = frames[slot, 0:c_dim, g * span:(g + 1) * span]
+            x32 = frames[0:c_dim, g * span:(g + 1) * span]
             v = ((x32 << (24 - 8 * b)) >> 24).astype(jnp.float32)
             k_base = b + pack * span * g
             kk = k_base + pack * lane
@@ -344,13 +352,8 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
             nb_i = -bb_i
             nb_q = -bb_q
 
-            # exact Q40 digit phase ramp; the chunk's sub-chip base
-            # (hb0 = nominal + PHASE_BIAS) is folded into the digits at
-            # the 2^40 scale so the ramp output is already window-relative
-            beta = hb0_ref[:, cb:cb + 1]             # (C, 1)
-            a_g = _dadd(a_b, _dmul_u16(_dmul_small(s_q, pack * g), span))
-            zb = beta * 0
-            a_g = _dsub(a_g, [zb, zb, (beta << 8) & _M16, beta >> 8])
+            # exact Q40 digit phase ramp (chunk base carried
+            # incrementally; per-channel table base folded in a0)
             a0l, a1l = a_g[0], a_g[1]
             a2l = a_g[2] + (a_g[3] << 16)
             t0 = a0l + sp0 * lane                    # (C, span)
@@ -390,6 +393,10 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
                 acc_sp[x] = ti if acc_sp[x] is None else acc_sp[x] + ti
                 acc_sp[3 + x] = (tq if acc_sp[3 + x] is None
                                  else acc_sp[3 + x] + tq)
+
+    @pl.when(j + 1 < r)
+    def _next():
+        _start(j + 1)
 
     corr = [jnp.sum(a, axis=1, keepdims=True) for a in acc_sp]
 
@@ -518,13 +525,17 @@ def _mega_call(config: ReceiverConfig, r: int, p0: int, buf, tabs,
             jax.ShapeDtypeStruct((c, 16), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, c8, w_slab), jnp.int32),   # DMA frames
+            pltpu.VMEM((c8, w_slab), jnp.int32),      # DMA frame slab
             pltpu.VMEM((c, 16), jnp.float32),         # stf
             pltpu.VMEM((c, 16), jnp.int32),           # sti
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # Mosaic stacks the statically-unrolled per-chunk temporaries
+            # without reuse; the default 16 MB scoped-VMEM budget is a
+            # compiler reserve, not the physical VMEM (128 MB on v5e)
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(buf, *(tabs[:, u] for u in range(n_tab)), hb0,
       consts_i, state_f, state_i)
@@ -560,7 +571,7 @@ def _mega_overflow(config: ReceiverConfig, active, o, blk):
 def mega_track_segment(config: ReceiverConfig, r: int, p0: int, buf, fb0,
                        tables, carr_basis, active, st):
     """Track ``r`` consecutive milliseconds for all channels in one fused
-    kernel call.
+    kernel call, returning RAW kernel outputs.
 
     ``buf``: (C8, buf_len/4) int32 per-channel block buffer (channel rows
     padded to a multiple of 8 for the in-kernel DMA slab; padding rows are
@@ -568,12 +579,15 @@ def mega_track_segment(config: ReceiverConfig, r: int, p0: int, buf, fb0,
     ((C,) int64, a multiple of 4).  ``p0`` is the block-grid phase of the
     first millisecond: in-kernel frame offsets are anchored at the
     absolute millisecond ``p0 + j`` so resumed runs regroup identically.
-    Returns (new_state, MsOutputs with (r, C) leaves, overflow) — the same
-    contract as scanning scan._frame_ms_packed over per-ms frames, with
-    this kernel's own f32 loop-filter numerics (module docstring).
+
+    Returns (new_state, ys (r, C, 16) f32).  The per-ms observables are
+    decoded from the stacked raw outputs ONCE per tracking call by
+    :func:`mega_finalize` — building the 14-leaf MsOutputs pytree (8 of
+    them f64) inside the block scan cost ~15 us/step of f64
+    dynamic-update-slice stacking (measured, jax.profiler).
     """
     from softgnss_tpu.signals.nco import carrier_step_u32
-    from softgnss_tpu.track.scan import MsOutputs, TrackState
+    from softgnss_tpu.track.scan import TrackState
 
     fs = config.sampling_freq
 
@@ -604,40 +618,18 @@ def mega_track_segment(config: ReceiverConfig, r: int, p0: int, buf, fb0,
                               jnp.asarray(tables.mega_hb0),
                               consts_i, state_f, state_i)
 
-    blk = ys[:, :, 11].astype(jnp.int64)                     # (r, C)
-    ptr_series = st.ptr[None, :] + jnp.cumsum(blk, axis=0)
-    o_entry = ys[:, :, 12].astype(jnp.int64)
-    ovf = jax.vmap(lambda o, bl: _mega_overflow(config, active, o, bl))(
-        o_entry, blk).max()
+    # blk is stored 0 for inactive channels, so the unmasked sum freezes
+    # their pointers exactly like the masked per-ms update
+    blk_sum = jnp.sum(ys[:, :, 11].astype(jnp.int64), axis=0)
 
     basis = jnp.float64(config.code_freq_basis)
-    code_nco = ys[:, :, 7].astype(jnp.float64)
-    carr_nco = ys[:, :, 9].astype(jnp.float64)
     if config.carrier_aided_dll:
-        aid_series = aid0.astype(jnp.float64)[None, :] + ratio * carr_nco
         aid_final = (aid0.astype(jnp.float64)
                      + ratio * sfo[:, 2].astype(jnp.float64))
     else:
-        aid_series = jnp.float64(0.0)
         aid_final = jnp.float64(0.0)
-    zf = jnp.float64(0.0)
-    outs = MsOutputs(
-        absolute_sample=jnp.where(active[None, :], ptr_series, jnp.int64(0)),
-        sample_frac=ys[:, :, 10].astype(jnp.float64),
-        code_freq=jnp.where(active[None, :],
-                            basis - code_nco + aid_series, zf),
-        carr_freq=jnp.where(active[None, :],
-                            carr_basis[None, :] + carr_nco, zf),
-        i_p=ys[:, :, 1], i_e=ys[:, :, 0], i_l=ys[:, :, 2],
-        q_e=ys[:, :, 3], q_p=ys[:, :, 4], q_l=ys[:, :, 5],
-        dll_discr=ys[:, :, 6].astype(jnp.float64),
-        dll_discr_filt=code_nco,
-        pll_discr=ys[:, :, 8].astype(jnp.float64),
-        pll_discr_filt=carr_nco,
-    )
-
     new = TrackState(
-        ptr=ptr_series[-1],
+        ptr=st.ptr + blk_sum,
         carr_phase=sio[:, 1],
         code_rem_q=_i64_from_digits(sio[:, 2:6]),
         carr_freq=jnp.where(active, carr_basis
@@ -654,4 +646,46 @@ def mega_track_segment(config: ReceiverConfig, r: int, p0: int, buf, fb0,
         acc_q_e=sfo[:, 7], acc_q_p=sfo[:, 8], acc_q_l=sfo[:, 9],
         fll_ip=sfo[:, 11], fll_qp=sfo[:, 12],
     )
-    return new, outs, ovf
+    return new, ys
+
+
+def mega_finalize(config: ReceiverConfig, ptr0, ys, carr_basis, active):
+    """Decode stacked raw kernel outputs into per-ms observables.
+
+    ``ptr0``: (C,) absolute sample pointers at the first millisecond of
+    ``ys`` (n_ms, C, 16).  Returns (MsOutputs with (n_ms, C) leaves,
+    overflow) — run ONCE per tracking call, outside the block scan.
+    """
+    from softgnss_tpu.track.scan import MsOutputs
+
+    blk = ys[:, :, 11].astype(jnp.int64)                     # (n_ms, C)
+    ptr_series = ptr0[None, :] + jnp.cumsum(blk, axis=0)
+    o_entry = ys[:, :, 12].astype(jnp.int64)
+    ovf = jax.vmap(lambda o, bl: _mega_overflow(config, active, o, bl))(
+        o_entry, blk).max()
+
+    basis = jnp.float64(config.code_freq_basis)
+    code_nco = ys[:, :, 7].astype(jnp.float64)
+    carr_nco = ys[:, :, 9].astype(jnp.float64)
+    if config.carrier_aided_dll:
+        ratio = config.code_freq_basis / config.l1_freq
+        aid0 = ratio * (carr_basis - config.intermediate_freq)
+        aid_series = aid0[None, :] + ratio * carr_nco
+    else:
+        aid_series = jnp.float64(0.0)
+    zf = jnp.float64(0.0)
+    outs = MsOutputs(
+        absolute_sample=jnp.where(active[None, :], ptr_series, jnp.int64(0)),
+        sample_frac=ys[:, :, 10].astype(jnp.float64),
+        code_freq=jnp.where(active[None, :],
+                            basis - code_nco + aid_series, zf),
+        carr_freq=jnp.where(active[None, :],
+                            carr_basis[None, :] + carr_nco, zf),
+        i_p=ys[:, :, 1], i_e=ys[:, :, 0], i_l=ys[:, :, 2],
+        q_e=ys[:, :, 3], q_p=ys[:, :, 4], q_l=ys[:, :, 5],
+        dll_discr=ys[:, :, 6].astype(jnp.float64),
+        dll_discr_filt=code_nco,
+        pll_discr=ys[:, :, 8].astype(jnp.float64),
+        pll_discr_filt=carr_nco,
+    )
+    return outs, ovf

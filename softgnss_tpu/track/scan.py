@@ -625,7 +625,8 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
     spc = config.samples_per_code
     win = config.track_window
     pre = config.track_frame_pre
-    sig_len = signal.shape[0]
+    sig_len = signal.shape[0] * (config.track_pack
+                                 if signal.dtype != jnp.int8 else 1)
     B = config.track_block_ms
 
     # The capture is consumed through an int32 view when
@@ -649,10 +650,20 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
             "samples_per_code and track_tile divisible by track_pack_size "
             f"(track_pack resolved to {pack})")
     if pack > 1:
-        if signal.dtype != jnp.int8:
+        if signal.dtype == jnp.int8:
+            # in-jit strided packing: correct everywhere but slow on TPU
+            # (strided int8 slices gather at ~1 GB/s once materialized) —
+            # track() pre-packs on the host instead; this path serves the
+            # sharded callers that still ship int8 shards
+            sig_pack = _packed_view(signal, pack)
+        elif signal.dtype == (jnp.int16 if pack == 2 else jnp.int32):
+            # capture arrives pre-packed (a free little-endian host view)
+            sig_pack = signal
+        else:
             raise ValueError(
-                f"track_pack={pack} requires an int8 capture, got {signal.dtype}")
-        sig_pack = _packed_view(signal, pack)
+                f"track_pack={pack} needs an int8 or pre-packed "
+                f"{'int16' if pack == 2 else 'int32'} capture, got "
+                f"{signal.dtype}")
         if impl == "pallas":
             from softgnss_tpu.track.pallas_kernel import hb_span_map
 
@@ -739,9 +750,11 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
                 [start, jnp.broadcast_to(start[:1], (c8 - c_dim,))]))
             buf = jax.vmap(lambda p: jax.lax.dynamic_slice(
                 sig_pack, (p // pack,), (buf_len // pack,)))(starts8)
-            new, outs, ov = mega_track_segment(
+            # the scan stacks ONLY the raw (r, C, 16) f32 kernel output;
+            # observables are decoded once post-scan (mega_finalize)
+            new, ys_raw = mega_track_segment(
                 config, r, p0, buf, start, tables, carr_basis, active, st2)
-            return (new, jnp.maximum(ovf2, ov)), outs
+            return (new, ovf2), ys_raw
     else:
         scan_segment = None  # defined below
 
@@ -807,6 +820,11 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
     final, ovf = carry
     ys = (parts[0] if len(parts) == 1
           else jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts))
+    if impl == "megakernel":
+        from softgnss_tpu.track.megakernel import mega_finalize
+
+        ys, ovf_m = mega_finalize(config, state0.ptr, ys, carr_basis, active)
+        ovf = jnp.maximum(ovf, ovf_m)
     return final, ys, ovf
 
 
@@ -859,12 +877,26 @@ def track(config: ReceiverConfig, signal: np.ndarray, channels: Channels,
     else:
         start_ms = int(np.max(np.asarray(state.ms)))
 
+    # Pre-pack the capture into its int16/int32 little-endian view on the
+    # HOST (a free numpy reinterpretation): packing in-jit from device
+    # int8 lowers to strided byte gathers that run at ~1 GB/s once
+    # materialized (measured via jax.profiler — it dominated the real
+    # pipeline wall time at the reference workload).
+    pack = config.track_pack
+    sig_np = np.asarray(signal)
+    if pack > 1 and sig_np.dtype == np.int8:
+        n = sig_np.shape[0] // pack * pack
+        sig_up = np.ascontiguousarray(sig_np[:n]).view(
+            np.int16 if pack == 2 else np.int32)
+    else:
+        sig_up = signal
+
     # only start_ms % track_block_ms affects the trace (the block-grid
     # phase); pass the phase so resuming at different points reuses one
     # compiled executable instead of recompiling the whole scan
     B = config.track_block_ms
     final, ys, ovf = _track_device(
-        config, jnp.asarray(signal), jax.tree.map(jnp.asarray, tables),
+        config, jnp.asarray(sig_up), jax.tree.map(jnp.asarray, tables),
         jnp.asarray(channels.acquired_freq, jnp.float64), jnp.asarray(active),
         n_ms, state, start_ms % B if B > 1 else 0)
     ys = jax.device_get(ys)

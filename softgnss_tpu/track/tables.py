@@ -172,7 +172,7 @@ def mega_o_cov(config: ReceiverConfig) -> int:
             + config.track_window_extra)
 
 
-def mega_grid(config: ReceiverConfig, default_cap: int = 76) -> tuple[int, int]:
+def mega_grid(config: ReceiverConfig, default_cap: int = 38) -> tuple[int, int]:
     """(k_tiles, t_groups) for the megakernel's chunk loop over its own
     window (cf. pallas_kernel.grid_shape, which uses track_window)."""
     t_pp = (mega_window(config) // MEGA_PACK) // config.track_tile
@@ -223,7 +223,7 @@ def mega_lane_tables(config: ReceiverConfig, prns: np.ndarray,
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Per-lane joint E/P/L code words for the megakernel.
 
-    Returns (tabs (C, n_words, W) i32, hb0 (C, n_chunks) i32),
+    Returns (tabs (C, n_words, W) i32, hb0 (C, 1) i32),
     W = mega_window, n_words = mega_n_words.  For table lane ``l``
     (capture sample k(l), nominal sub-chip base hb(l)), bit ``p`` of the
     word sequence tabs[:, 0..] (32 bits per word; the last word's bits
@@ -231,8 +231,8 @@ def mega_lane_tables(config: ReceiverConfig, prns: np.ndarray,
     index hb(l) - ds + p, so a sample whose half-chip index is
     h = hb(l) + h_local reads E/P/L at sequence bits h_local,
     h_local+ds, h_local+2ds.  The last word's bits 16.. carry
-    hb(l) - hb0[chunk(l)], and hb0 (+ MEGA_PHASE_BIAS) is folded into
-    the kernel's per-chunk phase digits, so
+    hb(l) - hb0 (one per-channel base), and hb0 (+ MEGA_PHASE_BIAS) is
+    folded into the kernel's per-ms phase digits, so
     h_local = exact_phase_ramp(l) - (tabs[-1] >> 16).
     """
     c = len(prns)
@@ -253,7 +253,7 @@ def mega_lane_tables(config: ReceiverConfig, prns: np.ndarray,
     shift = _mega_shift_subchips(config)
 
     tabs = np.zeros((c, n_words, win), np.int64)
-    hb0 = np.zeros((c, n_chunks), np.int64)
+    hb0 = np.zeros((c, 1), np.int64)
     p_arange = np.arange(w_bits)
     for i in range(c):
         if prns[i] <= 0:
@@ -267,13 +267,12 @@ def mega_lane_tables(config: ReceiverConfig, prns: np.ndarray,
         s_chips = fc_eff / config.sampling_freq
         hb = (np.floor(s * s_chips * k).astype(np.int64)
               - _H_OFFSET - shift)                            # (win,)
-        hb_c = hb.reshape(n_chunks, span)
-        hb0[i] = hb_c[:, 0]
-        hb_rel = (hb_c - hb_c[:, :1]).reshape(win)
-        if hb_rel.max() >= 1 << 12:
-            raise ValueError("megakernel chunk span too wide for the "
-                             "12-bit per-lane sub-chip offset; lower "
-                             "config.pallas_k_tiles")
+        hb0[i] = hb.min()
+        hb_rel = hb - hb0[i]
+        if hb_rel.max() >= 1 << 15:
+            raise ValueError("megakernel window too wide for the 15-bit "
+                             "per-lane sub-chip offset (subdivision or "
+                             "front end too coarse)")
         idx = hb[:, None] - ds + p_arange[None, :]            # (win, w_bits)
         bits = (base1d[np.clip(idx, 0, len(base1d) - 1)] > 0).astype(np.int64)
         for u in range(n_words):
