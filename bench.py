@@ -88,7 +88,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     n_channels = int(os.environ.get("BENCH_CHANNELS", "12"))
-    n_ms = int(os.environ.get("BENCH_MS", "2000"))
+    n_ms = int(os.environ.get("BENCH_MS", "8000"))
     oracle_ms = int(os.environ.get("BENCH_ORACLE_MS", "40"))
 
     config = sg.default_config(
@@ -146,25 +146,28 @@ def main() -> None:
             jnp.asarray(channels.acquired_freq, jnp.float64), jnp.asarray(active))
     if n_ms < 100:
         raise SystemExit(f"BENCH_MS must be >= 100 for marginal-cost timing, got {n_ms}")
-    n_short = min(max(200, n_ms // 10), n_ms // 2)
+    n_short = min(max(200, n_ms // 8), n_ms // 2)
 
     def run(length, st):
         final, ys, _ovf = _track_device(config, *args, length, st, 0)
         return float(jnp.asarray(ys.i_p[-1]).sum()) + float(final.ptr.sum())
 
-    reps = 3
+    reps = 5
     times = {}
     for length in (n_short, n_ms):
         assert np.isfinite(run(length, state0))          # compile + warm
-        best = np.inf
+        samples = []
         for r in range(reps):
             # vary an input per repetition: the runtime may serve repeated
             # identical launches from a cache, faking multi-Gsps numbers
             st = state0._replace(carr_phase=state0.carr_phase + r + 1)
             t0 = time.perf_counter()
             run(length, st)
-            best = min(best, time.perf_counter() - t0)
-        times[length] = best
+            samples.append(time.perf_counter() - t0)
+        # MEDIAN, not best-of: the remote-tunnel launch overhead has
+        # +-10 ms variance, comparable to the marginal compute signal at
+        # short lengths; best-of biases the difference arbitrarily
+        times[length] = float(np.median(samples))
     step_s = (times[n_ms] - times[n_short]) / (n_ms - n_short)
     device_sps = spc / step_s
 

@@ -144,10 +144,20 @@ def load_capture(path: str, config: ReceiverConfig,
     memory-mapped int8 real path, the I/Q path materializes the capture
     (deinterleave + upconversion are element transforms); for multi-GB
     captures pass ``count``/``offset_samples`` to convert in chunks.
+    The fs/4 upconversion pick pattern repeats every 4 samples, so I/Q
+    chunk boundaries must sit on that grid for the concatenated chunks
+    to be phase-coherent — ``offset_samples`` and ``count`` are required
+    to be multiples of 4 (enforced below).
     """
     fmt = config.data_format
     if fmt not in ("iq8", "iq16"):
         return read_if_samples(path, config, count, offset_samples), config
+    if offset_samples % 4 or (count is not None and count % 4):
+        raise ValueError(
+            "I/Q chunked loads need offset_samples and count to be "
+            "multiples of 4: the fs/4 upconversion pattern restarts at "
+            "phase 0 each call, so off-grid chunks would be mutually "
+            f"phase-incoherent (got offset={offset_samples}, count={count})")
     dt = np.int8 if fmt == "iq8" else np.int16
     raw = np.memmap(path, dt, "r",
                     offset=2 * dt().itemsize * offset_samples)

@@ -491,7 +491,7 @@ def encode_almanac_page(bits: np.ndarray, alm: Almanac) -> None:
             k += n
 
 
-def decode_almanac_pages(bits, d30star) -> dict[int, Almanac]:
+def decode_almanac_pages(bits, d30star, d29star=None) -> dict[int, Almanac]:
     """Collect almanac entries from an arbitrary-length tracked bit stream.
 
     ``bits``: +/-1 (or 0/1) nav bits starting at a subframe boundary, any
@@ -499,12 +499,34 @@ def decode_almanac_pages(bits, d30star) -> dict[int, Almanac]:
     subframes 4 and 5; the full 25-page cycle spans 12.5 minutes, so a
     short capture yields the pages it saw).  Returns {prn: Almanac}.
     """
+    from softgnss_tpu.nav.parity import nav_parity_check
+
     bits = np.asarray(bits)
     n_sub = bits.shape[0] // _SUBFRAME_BITS
     words = _corrected_words(bits, d30star, n_sub * _WORDS)
+    # raw (pre-correction) +/-1 stream for the parity check, prefixed
+    # with the two preceding bits (D29*, D30*) of the first word
+    pm = np.where(bits[:n_sub * _SUBFRAME_BITS] > 0, 1, -1).astype(np.int8)
+    d30 = np.int8(1 if d30star > 0 else -1)
+    d29 = np.int8(1 if (d29star if d29star is not None else d30star) > 0
+                  else -1)
+    pm = np.concatenate([[d29, d30], pm])
     out: dict[int, Almanac] = {}
     for s in range(n_sub):
         sub = words[s * _WORDS:(s + 1) * _WORDS].reshape(-1)
+        # a corrupted span (e.g. post-lock-loss noise bits) must not seed
+        # the almanac: require every word of the subframe to pass the
+        # IS-GPS-200 parity check (reference navPartyChk semantics;
+        # decode_ephemeris relies on findPreambles having verified its
+        # span, but almanac pages come from anywhere in the capture).
+        # Word 0 of the stream uses d29star when provided (else d30star
+        # stands in — wrong ~half the time, costing at most subframe 0).
+        ok = all(
+            nav_parity_check(pm[s * _SUBFRAME_BITS + w * 30:
+                                s * _SUBFRAME_BITS + w * 30 + 32]) != 0
+            for w in range(_WORDS))
+        if not ok:
+            continue
         sf_id = _bits_to_uint(sub[49:52])
         if sf_id not in (4, 5):
             continue

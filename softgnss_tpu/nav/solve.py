@@ -490,15 +490,21 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
     from softgnss_tpu.nav.message import decode_almanac_pages
 
     almanac: dict[int, object] = {}
+    lock_loss_alm = getattr(track, "lock_loss_ms", None)
     for ch in active:
         start = int(first_subframe[ch])
-        n_sub = (n_ms - start) // (_MS_PER_BIT * 300)
-        if n_sub < 1 or start < _MS_PER_BIT:
+        end_ms = n_ms
+        if lock_loss_alm is not None and np.isfinite(lock_loss_alm[ch]):
+            # never decode pages from post-lock-loss noise bits (each
+            # page is also parity-checked inside decode_almanac_pages)
+            end_ms = min(end_ms, int(lock_loss_alm[ch]))
+        n_sub = (end_ms - start) // (_MS_PER_BIT * 300)
+        if n_sub < 1 or start < 2 * _MS_PER_BIT:
             continue
-        window = i_p[ch, start - _MS_PER_BIT:
+        window = i_p[ch, start - 2 * _MS_PER_BIT:
                      start + 300 * n_sub * _MS_PER_BIT]
         bits = np.where(window.reshape(-1, _MS_PER_BIT).sum(axis=1) > 0, 1, -1)
-        almanac = decode_almanac_pages(bits[1:], bits[0])
+        almanac = decode_almanac_pages(bits[2:], bits[1], d29star=bits[0])
         if almanac:
             logger.info("Collected %d almanac page(s): PRNs %s.",
                         len(almanac), sorted(almanac))

@@ -217,20 +217,16 @@ def _round_f32_to_i32(x, bound: float):
     return jnp.floor(c + jnp.float32(0.5)).astype(jnp.int32)
 
 
-def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
+def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int):
     """One grid step = one millisecond, all channels, all chunks statically
     unrolled.  See module docstring for the state layout."""
     n_tab = mega_n_words(config)
     tab_refs = rest[:n_tab]
     (hb0_ref, ci_ref, sf_ref, si_ref,
-     ys_ref, sfo_ref, sio_ref, frames, stf, sti, sem) = rest[n_tab:]
+     ys_ref, sfo_ref, sio_ref, stf, sti) = rest[n_tab:]
     pack = MEGA_PACK
     tile = config.track_tile
-    win = mega_window(config)
-    win_w = win // pack
-    w_slab = win_w + MEGA_ALIGN_W
     spc = config.samples_per_code
-    spc_w = spc // pack
     k_tiles, t_groups = mega_grid(config)
     span = k_tiles * tile
     fs = config.sampling_freq
@@ -247,18 +243,8 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
     # ceil bias + the phase bias matching hb0 = base + MEGA_PHASE_BIAS
     a_const = _dconst((CODE_ONE - 1) + (MEGA_PHASE_BIAS << CODE_FRAC_BITS))
     two_pi = jnp.float32(2.0 * np.pi)
-    a0_align = (p0 * spc_w) >> 7 << 7               # static: buf word 0 is
-    #                                                 absolute frame grid A0
 
     j = pl.program_id(0)
-
-    def _slab(jj):
-        off = ((p0 + jj) * spc_w >> 7 << 7) - a0_align
-        return pl.multiple_of(jnp.int32(off), MEGA_ALIGN_W)
-
-    def _start(jj):
-        pltpu.make_async_copy(buf_hbm.at[:, pl.ds(_slab(jj), w_slab)],
-                              frames, sem).start()
 
     active = ci_ref[:, 1:2] != 0                    # (C, 1) bool
     activef = active.astype(jnp.float32)
@@ -267,7 +253,6 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
     def _init():
         stf[...] = sf_ref[...]
         sti[...] = si_ref[...]
-        _start(0)
 
     # --- per-ms prologue: NCO steps and exact block length ------------------
     code_nco = stf[:, 0:1]
@@ -293,18 +278,15 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
         low = _dneg_mask(d)
         est = est + low
         d = _dwhere(low != 0, _dadd(d, step), d)
-    # est <= ceil(numer/step) by construction (f32 quotient error ~5e-3
-    # << 1); one guarded decrement covers the near-integer edge
-    d2 = _dsub(d, step)
-    high = jnp.logical_and(_dneg_mask(d2) == 0, est > 0)
-    est = est - high.astype(jnp.int32)
-    d = _dwhere(high, d2, d)
+    for _ in range(2):                               # est too big: d-step >= 0
+        d2 = _dsub(d, step)
+        high = jnp.logical_and(_dneg_mask(d2) == 0, est > 0)
+        est = est - high.astype(jnp.int32)
+        d = _dwhere(high, d2, d)
     blk = est
     rem_new = d                                      # = rem + step*blk - len_q
 
-    off_j = _slab(j)                                 # scalar i32 (words)
-    p_rel = sti[:, 0:1]
-    o = p_rel - pack * off_j                         # frame sample offset
+    o = sti[:, 0:1]                                  # frame sample offset
     rem_eff = _dsub(rem, _dmul_small(step, o))
     a0 = _dadd(_dmul_small(rem_eff, s_div), a_const)
     # fold the per-channel table base (hb00 + PHASE_BIAS) into the digits
@@ -319,15 +301,11 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
     sp2 = sp[2] + (sp[3] << 16)
     phase_eff = sti[:, 1:2] - w_carr * o
 
-    pltpu.make_async_copy(buf_hbm.at[:, pl.ds(off_j, w_slab)],
-                          frames, sem).wait()
-
     # --- correlate: static loops over (byte plane, span chunk).  The code
     # lookup is a per-lane funnel shift of the static joint word sequence
     # (tables.mega_lane_tables) + three bit tests — no repeats, no
     # per-tile temporaries.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
-    c_dim = active.shape[0]
     acc_sp = [None] * 6
     a_b = a0
     for b in range(pack):
@@ -338,7 +316,7 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
             if g:
                 a_g = _dadd(a_g, d_grp)
             cb = b * t_groups + g
-            x32 = frames[0:c_dim, g * span:(g + 1) * span]
+            x32 = frames_ref[0, :, g * span:(g + 1) * span]
             v = ((x32 << (24 - 8 * b)) >> 24).astype(jnp.float32)
             k_base = b + pack * span * g
             kk = k_base + pack * lane
@@ -393,10 +371,6 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
                 acc_sp[x] = ti if acc_sp[x] is None else acc_sp[x] + ti
                 acc_sp[3 + x] = (tq if acc_sp[3 + x] is None
                                  else acc_sp[3 + x] + tq)
-
-    @pl.when(j + 1 < r)
-    def _next():
-        _start(j + 1)
 
     corr = [jnp.sum(a, axis=1, keepdims=True) for a in acc_sp]
 
@@ -476,7 +450,7 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
                                         stf[:, 4 + i:5 + i])
     stf[:, 11:12] = jnp.where(active, fll_new[0], stf[:, 11:12])
     stf[:, 12:13] = jnp.where(active, fll_new[1], stf[:, 12:13])
-    sti[:, 0:1] = jnp.where(active, p_rel + blk, sti[:, 0:1])
+    sti[:, 0:1] = jnp.where(active, o + blk - spc, sti[:, 0:1])
     sti[:, 1:2] = jnp.where(active, sti[:, 1:2] + w_carr * blk, sti[:, 1:2])
     for i in range(_ND):
         sti[:, 2 + i:3 + i] = jnp.where(active, rem_new[i],
@@ -489,25 +463,23 @@ def _kernel(buf_hbm, *rest, config: ReceiverConfig, r: int, p0: int):
         sio_ref[...] = sti[...]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _mega_call(config: ReceiverConfig, r: int, p0: int, buf, tabs,
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _mega_call(config: ReceiverConfig, r: int, frames, tabs,
                hb0, consts_i, state_f, state_i):
-    """Invoke the megakernel on an HBM-resident per-channel block buffer.
+    """Invoke the megakernel on pre-built per-ms frames (r, C, win/4) i32.
     Returns (ys (r,C,16) f32, state_f' (C,16), state_i' (C,16))."""
     c = tabs.shape[0]
     n_tab = tabs.shape[1]
     win = tabs.shape[2]
-    c8 = buf.shape[0]                    # channel rows padded to 8-multiple
     win_w = mega_window(config) // MEGA_PACK
-    w_slab = win_w + MEGA_ALIGN_W
     n_chunks = hb0.shape[1]
-    kernel = functools.partial(_kernel, config=config, r=r, p0=p0)
+    kernel = functools.partial(_kernel, config=config, r=r)
     zmap2 = lambda j: (j * 0, j * 0)                 # noqa: E731
     ys, sfo, sio = pl.pallas_call(
         kernel,
         grid=(r,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, c, win_w), lambda j: (j, j * 0, j * 0)),
         ] + [pl.BlockSpec((c, win), zmap2)] * n_tab + [
             pl.BlockSpec((c, n_chunks), zmap2),
             pl.BlockSpec((c, 8), zmap2),
@@ -525,10 +497,8 @@ def _mega_call(config: ReceiverConfig, r: int, p0: int, buf, tabs,
             jax.ShapeDtypeStruct((c, 16), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((c8, w_slab), jnp.int32),      # DMA frame slab
             pltpu.VMEM((c, 16), jnp.float32),         # stf
             pltpu.VMEM((c, 16), jnp.int32),           # sti
-            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -537,9 +507,107 @@ def _mega_call(config: ReceiverConfig, r: int, p0: int, buf, tabs,
             # compiler reserve, not the physical VMEM (128 MB on v5e)
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
-    )(buf, *(tabs[:, u] for u in range(n_tab)), hb0,
+    )(frames, *(tabs[:, u] for u in range(n_tab)), hb0,
       consts_i, state_f, state_i)
     return ys, sfo, sio
+
+
+def _builder_kernel(starts_ref, cap_ref, out_ref, scratch, sems, *,
+                    config: ReceiverConfig, r: int, c_dim: int):
+    """Frames builder: grid step j writes frames for millisecond j of all
+    channels — (1, C, win/4) i32 — gathered from the (1, L) int32 capture
+    slice at EXACT per-channel word offsets ``starts_ref[c] + j*spc/4``.
+
+    Each channel's window is fetched as a 128-word-aligned slab (the DMA
+    alignment unit) into its own scratch slot — one DMA in flight per
+    channel, next-millisecond copies issued as each slot is consumed —
+    then shifted down by the <=127-word residual.  tpu.dynamic_rotate
+    mis-rotates non-power-of-two widths (measured: off by a constant
+    tile count), so the shift is synthesized from TWO power-of-two-width
+    rolls stitched at a static tile boundary.
+    """
+    pack = MEGA_PACK
+    win_w = mega_window(config) // pack
+    w_slab = win_w + MEGA_ALIGN_W
+    spc_w = config.samples_per_code // pack
+    j = pl.program_id(0)
+
+    # split-roll geometry (static): largest pow2 window <= w_slab
+    p2 = 1 << (w_slab.bit_length() - 1)
+    if p2 == w_slab:
+        d_off = 0
+        m_split = win_w                      # single roll suffices
+    else:
+        d_off = w_slab - p2                  # second region lane offset
+        m_split = max(p2 // 2, d_off)        # stitch point (128-multiple)
+
+    def _start(jj, c):
+        al = pl.multiple_of(
+            jnp.int32((starts_ref[c] + jj * spc_w >> 7) << 7), MEGA_ALIGN_W)
+        pltpu.make_async_copy(cap_ref.at[:, pl.ds(al, w_slab)],
+                              scratch.at[jnp.int32(c)],
+                              sems.at[jnp.int32(c)]).start()
+
+    @pl.when(j == 0)
+    def _prime():
+        for c in range(c_dim):
+            _start(0, c)
+
+    for c in range(c_dim):
+        f = starts_ref[c] + j * spc_w
+        al = pl.multiple_of(jnp.int32((f >> 7) << 7), MEGA_ALIGN_W)
+        pltpu.make_async_copy(cap_ref.at[:, pl.ds(al, w_slab)],
+                              scratch.at[jnp.int32(c)],
+                              sems.at[jnp.int32(c)]).wait()
+        res = f - ((f >> 7) << 7)
+        slab = scratch[c]                                 # (1, w_slab)
+        r1 = pltpu.roll(slab[:, :p2], -res, 1)            # [res, res+p2)
+        out_ref[0, c, :m_split] = r1[0, :m_split]
+        if m_split < win_w:
+            r2 = pltpu.roll(slab[:, d_off:d_off + p2], -res, 1)
+            out_ref[0, c, m_split:win_w] = r2[0, m_split - d_off:
+                                              win_w - d_off]
+
+        @pl.when(j + 1 < r)
+        def _pre(c=c):
+            _start(j + 1, c)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def build_frames(config: ReceiverConfig, r: int, c_dim: int, cap2, starts_w):
+    """Gather (r, C, win/4) i32 per-ms frames from a (1, L) int32 capture
+    slice.  ``starts_w``: (C,) i32 frame word offsets of millisecond 0
+    relative to the slice; frame (j, c) covers words
+    [starts_w[c] + j*spc/4, + win/4) — exact bases, no alignment residue,
+    at DMA-copy speed (the XLA batched dynamic-slice gather for the same
+    job measured ~7 us per tracked millisecond; this builder ~2 us)."""
+    pack = MEGA_PACK
+    win_w = mega_window(config) // pack
+    w_slab = win_w + MEGA_ALIGN_W
+    kernel = functools.partial(_builder_kernel, config=config, r=r,
+                               c_dim=c_dim)
+    # scalar prefetch (not a plain SMEM operand: SMEM refs + a grid under
+    # jax_enable_x64 hit a Mosaic legalization failure — and index-map
+    # zeros must be j*0, not literal 0, for the same reason)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(r,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, c_dim, win_w),
+                                   lambda j, s: (j, j * 0, j * 0)),
+            scratch_shapes=[
+                pltpu.VMEM((c_dim, 1, w_slab), jnp.int32),
+                pltpu.SemaphoreType.DMA((c_dim,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, c_dim, win_w), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(starts_w, cap2)
 
 
 def _digits_i64(v):
@@ -568,17 +636,15 @@ def _mega_overflow(config: ReceiverConfig, active, o, blk):
     return jnp.where(active, jnp.maximum(bad, 0), jnp.int64(0))
 
 
-def mega_track_segment(config: ReceiverConfig, r: int, p0: int, buf, fb0,
+def mega_track_segment(config: ReceiverConfig, r: int, frames, fb0,
                        tables, carr_basis, active, st):
     """Track ``r`` consecutive milliseconds for all channels in one fused
     kernel call, returning RAW kernel outputs.
 
-    ``buf``: (C8, buf_len/4) int32 per-channel block buffer (channel rows
-    padded to a multiple of 8 for the in-kernel DMA slab; padding rows are
-    ignored); element 0 of row c is absolute capture sample ``fb0[c]``
-    ((C,) int64, a multiple of 4).  ``p0`` is the block-grid phase of the
-    first millisecond: in-kernel frame offsets are anchored at the
-    absolute millisecond ``p0 + j`` so resumed runs regroup identically.
+    ``frames``: (r, C, win/4) int32 per-ms windows from
+    :func:`build_frames`; element 0 of frame (0, c) is absolute capture
+    sample ``fb0[c]`` ((C,) int64, a multiple of 4), and frame bases
+    advance exactly samples_per_code per millisecond.
 
     Returns (new_state, ys (r, C, 16) f32).  The per-ms observables are
     decoded from the stacked raw outputs ONCE per tracking call by
@@ -613,7 +679,7 @@ def mega_track_segment(config: ReceiverConfig, r: int, p0: int, buf, fb0,
          st.ms.astype(jnp.int32)[:, None],
          jnp.zeros((o0.shape[0], 9), jnp.int32)], axis=1)
 
-    ys, sfo, sio = _mega_call(config, r, p0, buf,
+    ys, sfo, sio = _mega_call(config, r, frames,
                               jnp.asarray(tables.mega_tabs),
                               jnp.asarray(tables.mega_hb0),
                               consts_i, state_f, state_i)

@@ -715,8 +715,9 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
         from softgnss_tpu.track.tables import mega_window
 
         eff_win = mega_window(config)
-        # the longest segment's per-channel buffer must fit the capture
-        longest_need = longest * spc + eff_win + 1024
+        r_max = longest
+        # the longest segment's pre-slice must fit the capture
+        longest_need = (longest + 1) * spc + eff_win + 1024
     else:
         eff_win = win
         longest_need = (longest + 1) * spc
@@ -730,30 +731,47 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
         # whole-segment fused kernel: one pallas_call per (partial) block,
         # loop filters / NCO digits in VMEM scratch, per-ms frames fetched
         # by in-kernel DMA from the HBM block buffer (megakernel docstring)
-        from softgnss_tpu.track.megakernel import mega_track_segment
+        from softgnss_tpu.track.megakernel import (build_frames,
+                                                   mega_track_segment)
+        from softgnss_tpu.track.tables import MEGA_ALIGN_W
 
         spc_w = spc // pack
         c_dim = int(active.shape[0])
-        c8 = max(8, (c_dim + 7) // 8 * 8)
+        win_w = eff_win // pack
+        w_slab = win_w + MEGA_ALIGN_W
+        # the pre-slice spans the channel spread (< one code period) plus
+        # the whole block plus the slab tail
+        l_blk = (r_max * spc + eff_win) // pack + spc_w + 2 * MEGA_ALIGN_W
 
         def scan_segment(carry, base, p0: int, r: int):
             st2, ovf2 = carry
-            # buffer word 0 sits at the block's absolute frame-grid origin
-            # (128-word-aligned relative to the block base), so in-kernel
-            # slab offsets depend only on the absolute millisecond p0+j —
-            # a resumed run reads bit-identical frames
-            a0_align = (p0 * spc_w) >> 7 << 7
-            buf_len = r * spc + eff_win + 1024
-            start = jnp.clip(base // pack * pack + pack * a0_align,
-                             0, sig_len // pack * pack - buf_len)
-            starts8 = (start if c8 == c_dim else jnp.concatenate(
-                [start, jnp.broadcast_to(start[:1], (c8 - c_dim,))]))
-            buf = jax.vmap(lambda p: jax.lax.dynamic_slice(
-                sig_pack, (p // pack,), (buf_len // pack,)))(starts8)
+            # exact per-ms frame bases F(c, j) = base//4*4 + (p0+j)*spc:
+            # deterministic in the absolute millisecond, so a resumed run
+            # regroups identically.  One contiguous pre-slice around the
+            # block feeds the Pallas frames builder (exact gathers at DMA
+            # speed; the XLA batched dynamic-slice measured ~7 us/ms).
+            start_w = base // pack + p0 * spc_w              # (C,) i64
+            # inactive channels' pointers freeze while active ones walk
+            # the capture — keep them out of the pre-slice span (their
+            # frames are never read: outputs and state are active-masked)
+            any_act = jnp.max(jnp.where(active, start_w, 0))
+            start_w = jnp.where(active, start_w, any_act)
+            pres_base = jnp.clip(jnp.min(start_w), 0,
+                                 sig_len // pack - l_blk)
+            pres = jax.lax.dynamic_slice(sig_pack, (pres_base,), (l_blk,))
+            starts_rel = jnp.clip(
+                start_w - pres_base, 0,
+                l_blk - w_slab - (r - 1) * spc_w).astype(jnp.int32)
+            frames = build_frames(config, r, c_dim, pres[None, :],
+                                  starts_rel)
+            # fb0 from the (possibly capture-edge-clipped) builder inputs:
+            # a clipped base shows up as a too-large o and trips the
+            # overflow check instead of silently mis-framing
+            fb0 = (pres_base + starts_rel.astype(jnp.int64)) * pack
             # the scan stacks ONLY the raw (r, C, 16) f32 kernel output;
             # observables are decoded once post-scan (mega_finalize)
             new, ys_raw = mega_track_segment(
-                config, r, p0, buf, start, tables, carr_basis, active, st2)
+                config, r, frames, fb0, tables, carr_basis, active, st2)
             return (new, ovf2), ys_raw
     else:
         scan_segment = None  # defined below

@@ -138,14 +138,13 @@ def _sub_chip_tables(code_pad: np.ndarray, s: int, ds: int) -> np.ndarray:
 
 
 # --- megakernel per-lane geometry --------------------------------------------
-# The multi-ms fused kernel (track.megakernel) fetches its per-ms sample
-# frame with an in-kernel DMA whose offset must be 128-word (512-sample at
-# the int32 capture view) aligned, so the frame offset ``o`` floats in
-# [0, ~512 + frame slack) — wider than the block-mode o of the XLA paths.
-# Its code tables are expanded to PER-LANE words (one i32 pair per capture
-# sample position), which removes the per-tile window quantization: the
-# static window only has to cover o-drift + margins, independent of the
-# tile span, so the three taps pack into <= 48 joint bits per lane.
+# The multi-ms fused kernel (track.megakernel) consumes per-ms frames cut
+# at exact per-channel bases by a small Pallas gather kernel
+# (megakernel._build_frames).  Its code tables are expanded to PER-LANE
+# words, which removes the per-tile window quantization: the static
+# window only has to cover the block-mode o-drift + margins, independent
+# of the tile span, so the three taps pack into one joint word per lane
+# at the reference front end.
 
 #: the megakernel consumes the capture through the int32 view
 MEGA_PACK = 4
@@ -157,19 +156,20 @@ MEGA_PHASE_BIAS = 1 << 10
 
 
 def mega_window(config: ReceiverConfig) -> int:
-    """Static sample window of the megakernel's per-ms frame slab: one code
-    period + block-mode drift slack + the <= 511-sample DMA-alignment
-    residual, rounded up to whole byte planes of whole lane tiles."""
+    """Static sample window of the megakernel's per-ms frames: one code
+    period + block-mode drift slack, rounded up to whole byte planes of
+    whole lane tiles.  Frames are cut at EXACT per-ms bases by the
+    Pallas frames builder (megakernel._build_frames), so no DMA-alignment
+    residual widens the window."""
     mult = config.track_tile * MEGA_PACK
     w = (config.samples_per_code + config.track_window_extra
-         + 2 * config.track_frame_pre + MEGA_ALIGN_W * MEGA_PACK)
+         + 2 * config.track_frame_pre)
     return (w + mult - 1) // mult * mult
 
 
 def mega_o_cov(config: ReceiverConfig) -> int:
     """Upper bound on the in-frame offset ``o`` the per-lane tables cover."""
-    return (MEGA_ALIGN_W * MEGA_PACK - 1 + 2 * config.track_frame_pre
-            + config.track_window_extra)
+    return 2 * config.track_frame_pre + config.track_window_extra
 
 
 def mega_grid(config: ReceiverConfig, default_cap: int = 38) -> tuple[int, int]:
