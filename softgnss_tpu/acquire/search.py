@@ -276,6 +276,27 @@ def _acquire_device(config: ReceiverConfig, long_signal: jnp.ndarray,
     return carr_freq, code_phase, metric
 
 
+def hint_bin_mask(config: ReceiverConfig, doppler_hints,
+                  hint_halfwidth_hz: float) -> np.ndarray | None:
+    """(P, B) bool Doppler-bin mask from per-PRN carrier-frequency hints,
+    or None when every PRN searches the full band.  Shared by the
+    single-device and the PRN-sharded acquisition paths."""
+    if doppler_hints is None:
+        return None
+    hints = np.asarray(doppler_hints, np.float64)
+    bins = np.asarray(config.doppler_bin_freqs)                  # (B,)
+    sel = hints[np.asarray(config.acq_satellite_list) - 1]       # (P,)
+    dist = np.abs(bins[None, :] - sel[:, None])
+    inside = dist <= hint_halfwidth_hz
+    # no hint, or a hint whose window misses the search band entirely
+    # -> fall back to the full band for that PRN; an all-full mask is
+    # dropped so the unhinted (already-compiled) device variant runs
+    full = np.isnan(sel) | ~inside.any(axis=1)
+    if full.all():
+        return None
+    return np.where(full[:, None], True, inside)
+
+
 def acquire(config: ReceiverConfig, long_signal: np.ndarray,
             doppler_hints: np.ndarray | None = None,
             hint_halfwidth_hz: float = 500.0) -> AcquisitionResults:
@@ -293,19 +314,9 @@ def acquire(config: ReceiverConfig, long_signal: np.ndarray,
     need = config.acquisition_ms * config.samples_per_code
     if long_signal.shape[0] < need:
         raise ValueError(f"acquisition needs {need} samples, got {long_signal.shape[0]}")
-    bin_mask = None
-    if doppler_hints is not None:
-        hints = np.asarray(doppler_hints, np.float64)
-        bins = np.asarray(config.doppler_bin_freqs)                  # (B,)
-        sel = hints[np.asarray(config.acq_satellite_list) - 1]       # (P,)
-        dist = np.abs(bins[None, :] - sel[:, None])
-        inside = dist <= hint_halfwidth_hz
-        # no hint, or a hint whose window misses the search band entirely
-        # -> fall back to the full band for that PRN; an all-full mask is
-        # dropped so the unhinted (already-compiled) device variant runs
-        full = np.isnan(sel) | ~inside.any(axis=1)
-        if not full.all():
-            bin_mask = jnp.asarray(np.where(full[:, None], True, inside))
+    bin_mask = hint_bin_mask(config, doppler_hints, hint_halfwidth_hz)
+    if bin_mask is not None:
+        bin_mask = jnp.asarray(bin_mask)
     carr, phase, metric = _acquire_device(config, jnp.asarray(long_signal[:need]),
                                           bin_mask)
     out = tuple(np.asarray(jax.device_get(v)) for v in (carr, phase, metric))

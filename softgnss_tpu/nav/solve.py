@@ -284,6 +284,12 @@ def _epoch_scan(config: ReceiverConfig, use_trop: bool, packed_eph, base_mask,
             excl_ch = jnp.where(isolated, j.astype(jnp.int32), jnp.int32(-1))
             # a detected but non-isolated fault invalidates the epoch
             ok = ok & ~(fault & ~isolated)
+            # a detected-but-unisolated fault must not leak into the EKF
+            # through the 6-sigma innovation gate alone: drop the whole
+            # epoch's measurements from the filter too (it coasts)
+            mask_eff = mask_eff & (raim_flag != 2)
+        # n_used is the POST-exclusion count (NavSolutions docstring)
+        n_used = jnp.sum(mask_eff)
 
         # --- velocity from carrier Doppler (beyond the reference) ----------
         # rho_dot_i = e_i . (v_sat_i - v_rx) + clock_drift, with

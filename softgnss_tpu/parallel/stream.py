@@ -84,13 +84,21 @@ def _chunk_span(config: ReceiverConfig, m0: int, m1: int) -> tuple[int, int]:
 def track_streamed(config: ReceiverConfig, signal: np.ndarray,
                    channels: Channels, n_ms: int | None = None,
                    chunk_ms: int | None = None,
-                   state: TrackState | None = None) -> TrackResults:
+                   state: TrackState | None = None,
+                   mesh=None) -> TrackResults:
     """Track ``n_ms`` milliseconds in pipelined ``chunk_ms`` time chunks.
 
     Drop-in for :func:`softgnss_tpu.track.track` (same signature plus
     ``chunk_ms``); ``signal`` may be any int8 array-like including an
     ``np.memmap`` — each chunk is materialized host-side only when its
     upload is issued.
+
+    ``mesh``: optional — per-chunk tracking runs CHANNEL-SHARDED over the
+    mesh (softgnss_tpu.parallel.track_channels_sharded) while the chunked
+    upload pipeline stays: multi-device runs no longer re-inherit the
+    whole-capture upload barrier (round-3 VERDICT ask #6).  Integer
+    observables are bit-identical to the unstreamed sharded tracker
+    (tests/test_stream.py).
     """
     from softgnss_tpu.track.scan import track
 
@@ -101,6 +109,12 @@ def track_streamed(config: ReceiverConfig, signal: np.ndarray,
     if n_ms <= 0 or chunk_ms <= 0 or chunk_ms >= n_ms:
         # nothing to pipeline (0 = monolithic per the config docstring;
         # a single chunk would only add the window-margin re-slicing)
+        if mesh is not None:
+            from softgnss_tpu.parallel.track import track_channels_sharded
+
+            return track_channels_sharded(config, np.asarray(signal),
+                                          channels, mesh, n_ms=n_ms,
+                                          state=state)
         return track(config, signal, channels, n_ms=n_ms, state=state)
     chunk_ms = max(B, int(chunk_ms) // B * B)        # chunk starts on the block grid
     spc = config.samples_per_code
@@ -113,14 +127,30 @@ def track_streamed(config: ReceiverConfig, signal: np.ndarray,
             f"capture too short for tracking: need >= {needed} samples, "
             f"got {sig_len}")
 
-    tables = build_tables(config, np.asarray(channels.prn),
-                          np.asarray(channels.acquired_freq))
-    active = np.asarray([s == "T" for s in channels.status])
+    n_channels = len(channels)
+    if mesh is not None:
+        # pad the channel set to the mesh axis and graft any resumed state
+        # exactly as track_channels_sharded does
+        from softgnss_tpu.parallel.track import _pad_channels
+
+        channels_run = _pad_channels(config, channels,
+                                     mesh.shape[config.channel_axis])
+    else:
+        channels_run = channels
+    tables = build_tables(config, np.asarray(channels_run.prn),
+                          np.asarray(channels_run.acquired_freq))
+    active = np.asarray([s == "T" for s in channels_run.status])
     if state is None:
-        state = initial_state(config, channels)
+        state = initial_state(config, channels_run)
         start_ms = 0
     else:
         start_ms = int(np.max(np.asarray(state.ms)))
+        if mesh is not None and len(np.asarray(state.ptr)) != len(channels_run):
+            pad_state = initial_state(config, channels_run)
+            state = jax.tree.map(
+                lambda pad_leaf, live: jnp.asarray(np.concatenate(
+                    [np.asarray(live), np.asarray(pad_leaf)[n_channels:]])),
+                pad_state, jax.tree.map(np.asarray, state))
     if start_ms % B:
         raise ValueError(
             f"track_streamed resumes only on the {B}-ms block grid, "
@@ -132,7 +162,7 @@ def track_streamed(config: ReceiverConfig, signal: np.ndarray,
     spans = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
 
     tables_dev = jax.tree.map(jnp.asarray, tables)
-    carr_dev = jnp.asarray(channels.acquired_freq, jnp.float64)
+    carr_dev = jnp.asarray(channels_run.acquired_freq, jnp.float64)
     active_dev = jnp.asarray(active)
 
     # ONE window length for every chunk (the drift envelope widens the
@@ -144,12 +174,17 @@ def track_streamed(config: ReceiverConfig, signal: np.ndarray,
                 (_chunk_span(config, start_ms + m0, start_ms + m1)
                  for m0, m1 in spans)))
 
+    from softgnss_tpu.track.scan import host_pack_signal
+
     def upload(k):
         m0, m1 = spans[k]
         base, _ = _chunk_span(config, start_ms + m0, start_ms + m1)
-        base = max(0, min(base, sig_len - L))
+        # pack-aligned base: the chunk is shipped as its int16/int32 host
+        # view (host_pack_signal) so in-jit packing never runs
+        base = max(0, min(base, sig_len - L)) // 4 * 4
         end = base + L
-        return base, end, jnp.asarray(np.ascontiguousarray(signal[base:end]))
+        chunk = np.ascontiguousarray(signal[base:end])
+        return base, end, jnp.asarray(host_pack_signal(config, chunk))
 
     st = state
     prev_base = 0                                    # current state's rebase
@@ -196,9 +231,16 @@ def track_streamed(config: ReceiverConfig, signal: np.ndarray,
         # chunk starts sit on the block grid, so only start_ms % B (== 0)
         # matters to the scan — pass the phase, not the raw value, to keep
         # ONE compiled executable across all interior chunks
-        final, ys_d, ovf_d = _track_device(
-            config, sig_dev, tables_dev, carr_dev, active_dev,
-            m1 - m0, st, (start_ms + m0) % B)
+        if mesh is not None:
+            from softgnss_tpu.parallel.track import _track_channels_sharded
+
+            final, ys_d, ovf_d = _track_channels_sharded(
+                config, mesh, m1 - m0, (start_ms + m0) % B,
+                sig_dev, tables_dev, carr_dev, active_dev, st)
+        else:
+            final, ys_d, ovf_d = _track_device(
+                config, sig_dev, tables_dev, carr_dev, active_dev,
+                m1 - m0, st, (start_ms + m0) % B)
         inflight.append(((m0, m1), base, end, ys_d, ovf_d))
         st = final
         if k + 1 < len(spans):
@@ -215,6 +257,6 @@ def track_streamed(config: ReceiverConfig, signal: np.ndarray,
     final_state = final_state._replace(
         ptr=final_state.ptr + prev_base,
         block_base=final_state.block_base + prev_base)
-    res = _results_from_ys(channels, ys, len(channels))
-    res.final_state = final_state
+    res = _results_from_ys(channels_run, ys, n_channels)
+    res.final_state = jax.tree.map(lambda x: x[:n_channels], final_state)
     return res

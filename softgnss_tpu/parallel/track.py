@@ -144,9 +144,12 @@ def track_channels_sharded(config: ReceiverConfig, signal: np.ndarray,
     # AND anchors a resumed run's frames to the same absolute ms grid as
     # the uninterrupted run
     B = config.track_block_ms
+    from softgnss_tpu.track.scan import host_pack_signal
+
     final, ys, ovf = _track_channels_sharded(
         config, mesh, n_ms, start_ms % B if B > 1 else 0,
-        jnp.asarray(signal), jax.tree.map(jnp.asarray, tables),
+        jnp.asarray(host_pack_signal(config, signal)),
+        jax.tree.map(jnp.asarray, tables),
         jnp.asarray(carr_basis), jnp.asarray(active), state0)
     ys = jax.device_get(ys)
     _check_overflow(np.max(jax.device_get(ovf)))

@@ -308,11 +308,9 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
         if mesh is not None:
             from softgnss_tpu.parallel import acquire_sharded
 
-            if hints is not None:
-                logger.warning("Doppler hints are not supported on the "
-                               "mesh-sharded acquisition path; ignoring.")
             results.acquisition = acquire_sharded(
-                config, signal[skip: skip + acq_need], mesh)
+                config, signal[skip: skip + acq_need], mesh,
+                doppler_hints=hints)
         else:
             results.acquisition = acquire(config, signal[skip: skip + acq_need],
                                           doppler_hints=hints)
@@ -325,13 +323,15 @@ def run_receiver(config: ReceiverConfig, signal: np.ndarray | None = None,
 
     # --- tracking -----------------------------------------------------------
     t0 = time.monotonic()
-    if stream and mesh is not None:
-        raise ValueError("stream=True is single-device (exclusive with mesh=)")
+    if stream and mesh is not None and shard != "channel":
+        raise ValueError("stream=True composes with mesh= only for "
+                         "shard='channel' (time sharding partitions the "
+                         "capture itself)")
     if stream:
         from softgnss_tpu.parallel import track_streamed
 
         results.tracking = track_streamed(config, signal, results.channels,
-                                          n_ms=n_ms)
+                                          n_ms=n_ms, mesh=mesh)
     elif mesh is not None:
         from softgnss_tpu.parallel import (track_channels_sharded,
                                            track_time_exact,

@@ -199,6 +199,12 @@ class Scenario:
     #: high-dynamics scenario; the synthesized delays follow the
     #: quadratic trajectory (Doppler sweeps through the capture)
     receiver_accel: np.ndarray = field(default=None, repr=False)
+    #: receiver-oscillator fractional frequency offset, parts per million
+    #: (synth.synthesize_dynamic docstring): common apparent Doppler bias
+    #: ~ -f_L1*rho, scaled code clock, and a rho*c m/s receiver clock
+    #: drift the navigation solution must absorb.  The reference is blind
+    #: to this (initialize.py:105-107 assumes exact fs/IF)
+    clock_ppm: float = 0.0
     delays: np.ndarray = field(default=None, repr=False)     # (S, n_ms+1) s
     dopplers: np.ndarray = field(default=None, repr=False)   # (S,) Hz at t_rx0
 
@@ -257,6 +263,7 @@ def build_scenario(config: ReceiverConfig, n_sats: int = 5,
                    full_model: bool = False,
                    velocity_enu: tuple[float, float, float] | None = None,
                    accel_enu: tuple[float, float, float] | None = None,
+                   clock_ppm: float = 0.0,
                    ) -> Scenario:
     """Construct a consistent scenario with n_sats visible satellites.
 
@@ -348,7 +355,8 @@ def build_scenario(config: ReceiverConfig, n_sats: int = 5,
     return Scenario(config=config, receiver_ecef=rx, prns=prns,
                     ephemerides=ephs, tow_count=tow_count, t_rx0=t_rx0,
                     noise_std=noise_std, amplitude=amplitude,
-                    receiver_vel=vel, receiver_accel=accel)
+                    receiver_vel=vel, receiver_accel=accel,
+                    clock_ppm=clock_ppm)
 
 
 def synthesize_scenario(scenario: Scenario, n_ms: int, seed: int = 0) -> np.ndarray:
@@ -359,7 +367,10 @@ def synthesize_scenario(scenario: Scenario, n_ms: int, seed: int = 0) -> np.ndar
     """
     cfg = scenario.config
     s = len(scenario.prns)
-    t_bounds = scenario.t_rx0 + 1e-3 * np.arange(n_ms + 1)
+    # receiver samples sit at true times k/(fs*(1+rho)): a fast oscillator
+    # (rho > 0) collects each "millisecond" of samples in less true time
+    rho = scenario.clock_ppm * 1e-6
+    t_bounds = scenario.t_rx0 + 1e-3 * np.arange(n_ms + 1) / (1.0 + rho)
 
     delays = np.empty((s, n_ms + 1))
     # receiver truth positions at each ms boundary's receive time (static:
@@ -398,7 +409,12 @@ def synthesize_scenario(scenario: Scenario, n_ms: int, seed: int = 0) -> np.ndar
         delays += d_ion[:, None]
 
     scenario.delays = delays
-    scenario.dopplers = -cfg.l1_freq * (delays[:, 1] - delays[:, 0]) * 1000.0
+    # APPARENT Doppler in receiver-clock units: geometry plus the
+    # oscillator's common ~ -f_L1*rho offset (zero when clock_ppm == 0)
+    f_if_x = (cfg.intermediate_freq
+              - (cfg.l1_freq - cfg.intermediate_freq) * rho) / (1.0 + rho)
+    scenario.dopplers = ((f_if_x - cfg.intermediate_freq)
+                         - cfg.l1_freq * (delays[:, 1] - delays[:, 0]) * 1000.0)
 
     n_subframes = int(np.ceil((scenario.t_rx0 - scenario.t_bits0 + n_ms / 1000.0) / 6.0)) + 2
     # every satellite broadcasts the same almanac set on its subframe-5
@@ -427,4 +443,5 @@ def synthesize_scenario(scenario: Scenario, n_ms: int, seed: int = 0) -> np.ndar
         scenario.t_rx0 - scenario.t_bits0, n_ms,
         amplitudes=amps,
         phase0=np.linspace(0.0, 5.0, s),
-        noise_std=scenario.noise_std, seed=seed)
+        noise_std=scenario.noise_std, seed=seed,
+        clock_ppm=scenario.clock_ppm)

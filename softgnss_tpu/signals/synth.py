@@ -306,7 +306,8 @@ def synthesize_dynamic(config: ReceiverConfig, prns: list[int],
                        t_rx0_minus_bits0: float, n_ms: int,
                        amplitudes: np.ndarray | None = None,
                        phase0: np.ndarray | None = None,
-                       noise_std: float = 0.0, seed: int = 0) -> np.ndarray:
+                       noise_std: float = 0.0, seed: int = 0,
+                       clock_ppm: float = 0.0) -> np.ndarray:
     """Geometry-consistent IF capture with per-ms time-varying delays.
 
     ``delays_s``: (S, >= n_ms+1) light times (s) at each ms boundary,
@@ -319,6 +320,17 @@ def synthesize_dynamic(config: ReceiverConfig, prns: list[int],
     (S, n_ms) per-ms envelopes (time-varying signal strength).  Used by the
     golden-scenario builder (softgnss_tpu.scenario) for closed-loop
     navigation tests.
+
+    ``clock_ppm``: receiver-oscillator fractional frequency offset in
+    parts per million (the reference assumes an exact front end,
+    initialize.py:105-107 — every real capture has this).  The sampling
+    clock runs at fs*(1+rho) and the downconversion LO, derived from the
+    same oscillator, at (f_L1 - f_IF)*(1+rho): in capture-sample units
+    every signal appears with an extra common carrier offset of
+    ~ -f_L1*rho Hz, a code-clock scale of 1/(1+rho), and a pseudorange-
+    counter drift of rho (the receiver's clock-bias slope, rho*c m/s).
+    The caller's ``delays_s`` must be sampled at the TRUE boundary times
+    t_rx0 + k*1e-3/(1+rho) (synthesize_scenario handles this).
     """
     if config.sampling_freq % 1000:
         raise ValueError("synthesizer requires sampling_freq divisible by 1000")
@@ -339,12 +351,18 @@ def synthesize_dynamic(config: ReceiverConfig, prns: list[int],
     tau0 = delays_s[:, :n_ms]
     dtau = (delays_s[:, 1:n_ms + 1] - tau0) / spms              # s per sample
 
-    chips0 = fc * (t_rx0_minus_bits0 + t0 - tau0)
-    chip_slope = fc * (1.0 / fs - dtau)
+    # receiver-clock warp: receiver sample k sits at true time
+    # k/(fs*(1+rho)); the LO error shifts the apparent IF by ~ -f_L1*rho
+    rho = clock_ppm * 1e-6
+    fc_x = fc / (1.0 + rho)
+    f_if_x = (f_if - (f_l1 - f_if) * rho) / (1.0 + rho)
+
+    chips0 = fc * (t_rx0_minus_bits0 - tau0) + fc_x * t0
+    chip_slope = fc_x / fs - fc * dtau
 
     phi0 = (np.zeros(s) if phase0 is None else np.asarray(phase0))[:, None]
-    cyc0 = f_if * t0 - f_l1 * tau0 + phi0 / (2.0 * np.pi)
-    cyc_slope = f_if / fs - f_l1 * dtau
+    cyc0 = f_if_x * t0 - f_l1 * tau0 + phi0 / (2.0 * np.pi)
+    cyc_slope = f_if_x / fs - f_l1 * dtau
 
     params = _build_params(config, n_ms, chips0, chip_slope, cyc0, cyc_slope,
                            [b for b in bit_streams], wrap_bits=False)

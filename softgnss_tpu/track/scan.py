@@ -867,6 +867,22 @@ def _check_overflow(ovf) -> None:
             "increase config.track_frame_margin or reduce track_block_ms")
 
 
+def host_pack_signal(config: ReceiverConfig, signal):
+    """Pre-pack an int8 capture into its int16/int32 little-endian view on
+    the HOST (a free numpy reinterpretation): packing in-jit from device
+    int8 lowers to strided byte gathers that run at ~1 GB/s once
+    materialized (measured via jax.profiler — it dominated real pipeline
+    wall time at the reference workload).  _scan_ms accepts either form;
+    non-int8 or pack-1 inputs pass through untouched."""
+    pack = config.track_pack
+    sig_np = np.asarray(signal)
+    if pack > 1 and sig_np.dtype == np.int8:
+        n = sig_np.shape[0] // pack * pack
+        return np.ascontiguousarray(sig_np[:n]).view(
+            np.int16 if pack == 2 else np.int32)
+    return signal
+
+
 def track(config: ReceiverConfig, signal: np.ndarray, channels: Channels,
           n_ms: int | None = None, state: TrackState | None = None) -> TrackResults:
     """Track all channels over ``n_ms`` milliseconds of the capture.
@@ -895,19 +911,7 @@ def track(config: ReceiverConfig, signal: np.ndarray, channels: Channels,
     else:
         start_ms = int(np.max(np.asarray(state.ms)))
 
-    # Pre-pack the capture into its int16/int32 little-endian view on the
-    # HOST (a free numpy reinterpretation): packing in-jit from device
-    # int8 lowers to strided byte gathers that run at ~1 GB/s once
-    # materialized (measured via jax.profiler — it dominated the real
-    # pipeline wall time at the reference workload).
-    pack = config.track_pack
-    sig_np = np.asarray(signal)
-    if pack > 1 and sig_np.dtype == np.int8:
-        n = sig_np.shape[0] // pack * pack
-        sig_up = np.ascontiguousarray(sig_np[:n]).view(
-            np.int16 if pack == 2 else np.int32)
-    else:
-        sig_up = signal
+    sig_up = host_pack_signal(config, signal)
 
     # only start_ms % track_block_ms affects the trace (the block-grid
     # phase); pass the phase so resuming at different points reuses one

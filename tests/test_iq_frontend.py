@@ -82,9 +82,10 @@ class TestIqEndToEnd:
         # tracking locks: data on I, carrier recovered
         tr = results.tracking
         tail = slice(150, None)
-        lock = (np.abs(np.asarray(tr.i_p)[:, tail]).mean(axis=1)
-                / np.abs(np.asarray(tr.q_p)[:, tail]).mean(axis=1))
-        assert (lock[:2] > 5.0).all()
+        # only the two live channels: idle rows are all-zero (0/0)
+        lock = (np.abs(np.asarray(tr.i_p)[:2, tail]).mean(axis=1)
+                / np.abs(np.asarray(tr.q_p)[:2, tail]).mean(axis=1))
+        assert (lock > 5.0).all()
 
     def test_iq16_loads_like_iq8(self, iq_file):
         cfg, path = iq_file

@@ -60,6 +60,27 @@ class TestShardedAcquisition:
         np.testing.assert_allclose(res_sh.peak_metric, res_ref.peak_metric, rtol=1e-5)
         np.testing.assert_allclose(res_sh.carr_freq, res_ref.carr_freq, rtol=1e-9)
 
+    def test_hinted_matches_unsharded(self, cfg, capture):
+        """Doppler-hinted (assisted) acquisition on the mesh == off-mesh:
+        the (PRN, bin) hint mask shards with the PRN axis."""
+        sats, signal, _ = capture
+        mesh = make_mesh({cfg.time_axis: 1, cfg.channel_axis: 8})
+        hints = np.full(32, np.nan)
+        for s in sats:
+            hints[s.prn - 1] = cfg.intermediate_freq + s.doppler_hz + 90.0
+        res_ref = acquire(cfg, signal, doppler_hints=hints)
+        res_sh = acquire_sharded(cfg, signal, mesh, doppler_hints=hints)
+        np.testing.assert_array_equal(res_sh.code_phase, res_ref.code_phase)
+        np.testing.assert_allclose(res_sh.peak_metric, res_ref.peak_metric,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(res_sh.carr_freq, res_ref.carr_freq,
+                                   rtol=1e-9)
+        # the hint actually constrained the search: every injected PRN's
+        # coarse peak sits inside the hint window
+        for s in sats:
+            assert abs(res_sh.carr_freq[s.prn - 1]
+                       - hints[s.prn - 1]) < 600.0
+
     def test_uneven_prn_padding(self, cfg, capture):
         """PRN count not divisible by shard count still works."""
         sats, signal, _ = capture

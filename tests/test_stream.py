@@ -105,13 +105,47 @@ class TestStreamedPipeline:
         np.testing.assert_allclose(st.tracking.i_p, ref.tracking.i_p,
                                    rtol=1e-5, atol=0.01)
 
-    def test_stream_excludes_mesh(self, cfg, capture):
+    def test_stream_excludes_time_sharding(self, cfg, capture):
+        """stream composes with shard='channel' only: time sharding
+        partitions the capture itself."""
         import jax
         from jax.sharding import Mesh
 
         _, signal, channels = capture
         mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
                     (cfg.time_axis, cfg.channel_axis))
-        with pytest.raises(ValueError, match="single-device"):
+        with pytest.raises(ValueError, match="shard='channel'"):
             run_receiver(cfg, signal=signal, n_ms=N_MS, navigate=False,
-                         mesh=mesh, stream=True)
+                         mesh=mesh, shard="time", stream=True)
+
+
+class TestStreamedOnMesh:
+    """stream x mesh composition (round-3 VERDICT ask #6): per-chunk
+    uploads with channel-sharded tracking must match the unstreamed
+    sharded tracker (and thus the monolithic one)."""
+
+    def test_mesh_streamed_matches_sharded(self, cfg, capture):
+        import jax
+
+        from softgnss_tpu.parallel import make_mesh, track_channels_sharded
+
+        assert jax.device_count() >= 4
+        sats, signal, channels = capture
+        mesh = make_mesh({cfg.time_axis: 1, cfg.channel_axis: 4})
+        ref = track_channels_sharded(cfg, signal, channels, mesh, n_ms=N_MS)
+        st = track_streamed(cfg, signal, channels, n_ms=N_MS, chunk_ms=128,
+                            mesh=mesh)
+        _assert_matches(st, ref)
+
+    def test_pipeline_stream_with_mesh(self, cfg, capture):
+        import jax
+
+        from softgnss_tpu.parallel import make_mesh
+
+        sats, signal, channels = capture
+        mesh = make_mesh({cfg.time_axis: 1, cfg.channel_axis: 4})
+        res = run_receiver(cfg, signal=signal, n_ms=N_MS, navigate=False,
+                           mesh=mesh, shard="channel", stream=True)
+        ref = run_receiver(cfg, signal=signal, n_ms=N_MS, navigate=False)
+        np.testing.assert_array_equal(res.tracking.absolute_sample,
+                                      ref.tracking.absolute_sample)
