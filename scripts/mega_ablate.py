@@ -2,13 +2,13 @@
 
 Marginal-cost timing (N-scaling inside one jit) of stripped variants at
 the reference workload.  MODES env var picks variants:
-  noop   - DMA framing + state init + outputs only (grid/dispatch floor)
+  noop   - frames streaming + state init + outputs only (pipeline floor)
   bb     - + unpack, mask, carrier NCO, shared-fold sincos baseband
   phase  - + span-wide digit phase ramp
   taps   - + funnel-shift code lookup and the six correlator sums (full
            correlator, no loop filters)
   full   - the real kernel (_mega_call)
-  glue   - the full scan step (_track_device marginal cost) for reference
+  build  - the frames builder alone (build_frames)
 """
 import functools
 import os
@@ -24,21 +24,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 import softgnss_tpu as sg
-from softgnss_tpu.track.megakernel import _mega_call, _sincos_counts
-from softgnss_tpu.track.tables import (MEGA_ALIGN_W, MEGA_PACK,
-                                       build_tables, mega_grid,
+from softgnss_tpu.track.megakernel import _mega_call, _sincos_counts, build_frames
+from softgnss_tpu.track.tables import (MEGA_PACK, build_tables, mega_grid,
                                        mega_n_words, mega_width, mega_window)
 
 cfg = sg.default_config(number_of_channels=int(os.environ.get("CH", "12")),
                         correlator_impl="megakernel",
                         pallas_k_tiles=int(os.environ.get("KT", "0")))
 C = cfg.number_of_channels
-C8 = max(8, (C + 7) // 8 * 8)
 pack = MEGA_PACK
 tile = cfg.track_tile
 win = mega_window(cfg)
 win_w = win // pack
-w_slab = win_w + MEGA_ALIGN_W
 spc = cfg.samples_per_code
 spc_w = spc // pack
 n_tab = mega_n_words(cfg)
@@ -54,38 +51,25 @@ tables = build_tables(cfg, prns, freqs)
 tabs = jnp.asarray(tables.mega_tabs)
 hb0 = jnp.asarray(tables.mega_hb0)
 rng = np.random.default_rng(0)
-buf_len_w = (B * spc + win + 1024) // pack
-buf = jnp.asarray(rng.integers(-2**30, 2**30, (C8, buf_len_w),
-                               np.int64).astype(np.int32))
+frames = jnp.asarray(rng.integers(-2**30, 2**30, (B, C, win_w),
+                                  np.int64).astype(np.int32))
+capw = jnp.asarray(rng.integers(-2**30, 2**30, (1, (B + 4) * spc_w),
+                                np.int64).astype(np.int32))
+starts = jnp.asarray(np.sort(rng.integers(0, spc_w, C)).astype(np.int32))
 ci = jnp.zeros((C, 8), jnp.int32).at[:, 1].set(1).at[:, 0].set(123456789)
 sf = jnp.zeros((C, 16), jnp.float32)
 si = jnp.zeros((C, 16), jnp.int32).at[:, 0].set(60).at[:, 4].set(4000)
 
 
 def make_stripped(mode):
-    def kern(buf_hbm, *rest):
+    def kern(frames_ref, *rest):
         tab_refs = rest[:n_tab]
-        hb0_ref, ci_ref, sf_ref, ys_ref, sfo_ref, frames, stf, sem = \
-            rest[n_tab:]
+        hb0_ref, ci_ref, sf_ref, ys_ref, sfo_ref, stf = rest[n_tab:]
         j = pl.program_id(0)
-
-        def _slab(jj):
-            return pl.multiple_of(jnp.int32(jj * spc_w >> 7 << 7),
-                                  MEGA_ALIGN_W)
-
-        def _start(slot, jj):
-            pltpu.make_async_copy(
-                buf_hbm.at[:, pl.ds(_slab(jj), w_slab)],
-                frames.at[jnp.int32(slot)], sem.at[jnp.int32(slot)]).start()
 
         @pl.when(j == 0)
         def _():
             stf[...] = sf_ref[...]
-            _start(0, 0)
-
-        @pl.when(j + 1 < B)
-        def _():
-            _start((j + 1) & 1, j + 1)
 
         o = stf[:, 1:2].astype(jnp.int32) + 60
         blk = o * 0 + spc - 4
@@ -98,15 +82,12 @@ def make_stripped(mode):
         a1l = ci_ref[:, 6:7] + 5
         a2l = ci_ref[:, 7:8] + 9
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
-        slot = jnp.int32(j & 1)
-        pltpu.make_async_copy(buf_hbm.at[:, pl.ds(_slab(j), w_slab)],
-                              frames.at[slot], sem.at[slot]).wait()
         acc = [jnp.zeros((C, 1), jnp.float32) for _ in range(6)]
         if mode != "noop":
             for b in range(pack):
                 for g in range(t_groups):
                     cb = b * t_groups + g
-                    x32 = frames[slot, 0:C, g * span:(g + 1) * span]
+                    x32 = frames_ref[0, :, g * span:(g + 1) * span]
                     v = ((x32 << (24 - 8 * b)) >> 24).astype(jnp.float32)
                     k_base = b + pack * span * g
                     kk = k_base + pack * lane
@@ -162,7 +143,7 @@ def make_stripped(mode):
     zmap2 = lambda j: (j * 0, j * 0)
     return pl.pallas_call(
         kern, grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        in_specs=[pl.BlockSpec((1, C, win_w), lambda j: (j, j * 0, j * 0))]
         + [pl.BlockSpec((C, win), zmap2)] * n_tab
         + [pl.BlockSpec((C, hb0.shape[1]), zmap2),
            pl.BlockSpec((C, 8), zmap2),
@@ -171,9 +152,7 @@ def make_stripped(mode):
                    pl.BlockSpec((C, 16), zmap2)),
         out_shape=(jax.ShapeDtypeStruct((B, C, 16), jnp.float32),
                    jax.ShapeDtypeStruct((C, 16), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((2, C8, w_slab), jnp.int32),
-                        pltpu.VMEM((C, 16), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((C, 16), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -183,13 +162,19 @@ def make_stripped(mode):
 def timeit(mode):
     if mode == "full":
         def call(sf_):
-            ys, sfo, sio = _mega_call(cfg, B, 0, buf, tabs, hb0, ci, sf_, si)
+            ys, sfo, sio = _mega_call(cfg, B, frames, tabs, hb0, ci, sf_, si)
             return sfo[:, 0:1], ys[:, 0, 0]
+    elif mode == "build":
+        def call(sf_):
+            fr = build_frames(cfg, B, C, capw,
+                              starts + sf_[0, 0].astype(jnp.int32) * 0)
+            return sf_[:, 0:1] + fr[0, 0, 0] * jnp.float32(1e-20), \
+                fr[:, 0, 0].astype(jnp.float32)
     else:
         stripped = make_stripped(mode)
 
         def call(sf_):
-            ys, sfo = stripped(buf, *(tabs[:, u] for u in range(n_tab)),
+            ys, sfo = stripped(frames, *(tabs[:, u] for u in range(n_tab)),
                                hb0, ci, sf_)
             return sfo[:, 0:1], ys[:, 0, 0]
 
@@ -215,5 +200,5 @@ def timeit(mode):
     print(f"{mode:6s}: {per_ms*1e6:7.2f} us/ms", flush=True)
 
 
-for mode in os.environ.get("MODES", "noop,bb,phase,taps,full").split(","):
+for mode in os.environ.get("MODES", "noop,bb,phase,taps,full,build").split(","):
     timeit(mode)
