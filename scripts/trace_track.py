@@ -48,7 +48,10 @@ channels = Channels(prn=np.asarray(prns, np.int64),
                     status=["T"] * N_CH)
 tables = build_tables(cfg, np.asarray(prns), np.asarray(channels.acquired_freq))
 state0 = initial_state(cfg, channels)
-args = (jnp.asarray(signal), jax.tree.map(jnp.asarray, tables),
+from softgnss_tpu.track.scan import host_pack_signal
+
+args = (jnp.asarray(host_pack_signal(cfg, signal)),
+        jax.tree.map(jnp.asarray, tables),
         jnp.asarray(channels.acquired_freq, jnp.float64),
         jnp.asarray(np.ones(N_CH, bool)))
 
