@@ -136,12 +136,9 @@ def main() -> None:
     active = np.ones(n_channels, bool)
     state0 = initial_state(config, channels)
     # ship the capture pre-packed, as track() does (host view is free)
-    if config.track_pack > 1:
-        n = signal.shape[0] // config.track_pack * config.track_pack
-        sig_dev = jnp.asarray(np.ascontiguousarray(signal[:n]).view(
-            np.int16 if config.track_pack == 2 else np.int32))
-    else:
-        sig_dev = jnp.asarray(signal)
+    from softgnss_tpu.track.scan import host_pack_signal
+
+    sig_dev = jnp.asarray(host_pack_signal(config, signal))
     args = (sig_dev, jax.tree.map(jnp.asarray, tables),
             jnp.asarray(channels.acquired_freq, jnp.float64), jnp.asarray(active))
     if n_ms < 100:

@@ -79,7 +79,6 @@ from softgnss_tpu.track.tables import (
     mega_grid,
     mega_n_words,
     mega_o_cov,
-    mega_width,
     mega_window,
     subdivision,
 )
@@ -468,6 +467,21 @@ def _mega_call(config: ReceiverConfig, r: int, frames, tabs,
                hb0, consts_i, state_f, state_i):
     """Invoke the megakernel on pre-built per-ms frames (r, C, win/4) i32.
     Returns (ys (r,C,16) f32, state_f' (C,16), state_i' (C,16))."""
+    # static range guards for the in-kernel integer arithmetic:
+    # blk rides a 16-bit quotient estimate (est clipped to _M16), so one
+    # code period per millisecond must fit 16 bits; the per-lane Q40 digit
+    # ramp t0 = a0l + sp0*lane multiplies a <2^16 digit by the lane index,
+    # so the chunk span must keep the partial inside int32.
+    assert config.samples_per_code + 64 < (1 << 16), (
+        "megakernel blk arithmetic needs samples_per_code + 64 < 2^16 "
+        f"(one code period per ms in 16 bits); got {config.samples_per_code}"
+        " — use the onehot/pallas correlators for this front end")
+    _kt, _tg = mega_grid(config)
+    _span = _kt * config.track_tile
+    assert _span * _M16 < (1 << 31), (
+        f"megakernel chunk span {_span} (k_tiles={_kt} x tile="
+        f"{config.track_tile}) overflows the int32 digit ramp "
+        "(span * 65535 must stay below 2^31) — lower config.pallas_k_tiles")
     c = tabs.shape[0]
     n_tab = tabs.shape[1]
     win = tabs.shape[2]
@@ -584,6 +598,14 @@ def build_frames(config: ReceiverConfig, r: int, c_dim: int, cap2, starts_w):
     pack = MEGA_PACK
     win_w = mega_window(config) // pack
     w_slab = win_w + MEGA_ALIGN_W
+    # split-roll stitch invariants (mirrors config._mega_capable): region 1
+    # reads roll(slab[:p2], -res)[0:m_split] with res <= 127, wrap-free
+    # only when m_split + 127 < p2; the stitch must sit on a lane tile.
+    p2 = 1 << (w_slab.bit_length() - 1)
+    assert win_w % MEGA_ALIGN_W == 0 and (
+        p2 == w_slab or max(p2 // 2, w_slab - p2) <= p2 - MEGA_ALIGN_W), (
+        f"frames-builder split-roll geometry unsafe for win_w={win_w} "
+        "(config._mega_capable should have rejected this front end)")
     kernel = functools.partial(_builder_kernel, config=config, r=r,
                                c_dim=c_dim)
     # scalar prefetch (not a plain SMEM operand: SMEM refs + a grid under
