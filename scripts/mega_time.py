@@ -33,8 +33,8 @@ tables = build_tables(cfg, prns, freqs)
 tabs = jnp.asarray(tables.mega_tabs)
 hb0 = jnp.asarray(tables.mega_hb0)
 rng = np.random.default_rng(0)
-buf = jnp.asarray(rng.integers(-2**30, 2**30, (C8, (B * spc + win + 1024) // 4),
-                               np.int64).astype(np.int32))
+frames = jnp.asarray(rng.integers(-2**30, 2**30, (B, C, win // 4),
+                                  np.int64).astype(np.int32))
 ci = jnp.zeros((C, 8), jnp.int32).at[:, 1].set(1).at[:, 0].set(123456789)
 sf = jnp.zeros((C, 16), jnp.float32)
 si = jnp.zeros((C, 16), jnp.int32).at[:, 0].set(60).at[:, 4].set(4000)
@@ -43,7 +43,7 @@ si = jnp.zeros((C, 16), jnp.int32).at[:, 0].set(60).at[:, 4].set(4000)
 @functools.partial(jax.jit, static_argnums=(1,))
 def kloop(sf_, n):
     def step(carry, _):
-        ys, sfo, sio = _mega_call(cfg, B, 0, buf, tabs, hb0, ci,
+        ys, sfo, sio = _mega_call(cfg, B, frames, tabs, hb0, ci,
                                   carry + sf_ * 0, si)
         return carry + sfo * 1e-9, ys[0, 0, 0]
     c, ys = jax.lax.scan(step, jnp.zeros((C, 16), jnp.float32), None, length=n)

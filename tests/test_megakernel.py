@@ -140,3 +140,47 @@ class TestMegakernelOracle:
         assert np.sqrt(np.mean((i_p - orc["i_p"]) ** 2)) / scale < 1e-3
         assert np.max(np.abs(np.asarray(res.absolute_sample[0])
                              - orc["absolute_sample"])) <= 1
+
+
+class TestMegaGeometryGuards:
+    """Front ends whose frames-builder split-roll geometry is unsafe must
+    fall back to the per-ms correlators instead of building corrupt
+    frames (megakernel._builder_kernel region-1 wrap bound)."""
+
+    def test_default_config_stays_mega_capable(self):
+        assert sg.default_config()._mega_capable
+        assert sg.fast_config(track_block_ms=16)._mega_capable
+
+    def test_unaligned_window_falls_back(self):
+        # track_tile=12 gives win/4 % 128 != 0: the two-roll residual
+        # shift could read wrapped slab lanes, so the megakernel must be
+        # rejected and 'auto' resolve to a per-ms implementation
+        cfg = sg.default_config(track_tile=12)
+        assert not cfg._mega_capable
+        assert cfg.resolved_correlator in ("pallas", "onehot")
+        with pytest.raises(ValueError, match="megakernel"):
+            _ = cfg.with_options(correlator_impl="megakernel").track_pack
+
+    def test_oversized_k_tiles_rejected(self):
+        # a chunk span that overflows the int32 per-lane digit ramp must
+        # trip the static guard, not silently corrupt correlators
+        import jax
+
+        from softgnss_tpu.track.megakernel import _mega_call
+        from softgnss_tpu.track.tables import mega_grid, mega_window
+
+        cfg = sg.default_config(pallas_k_tiles=75)
+        k_tiles, _ = mega_grid(cfg)
+        span = k_tiles * cfg.track_tile
+        if span * 65535 < 2 ** 31:
+            pytest.skip("span within int32 ramp range on this geometry")
+        import jax.numpy as jnp
+        win_w = mega_window(cfg) // 4
+        with pytest.raises(AssertionError, match="digit ramp"):
+            _mega_call(cfg, 2,
+                       jnp.zeros((2, 1, win_w), jnp.int32),
+                       jnp.zeros((1, 1, mega_window(cfg)), jnp.int32),
+                       jnp.zeros((1, 1), jnp.int32),
+                       jnp.zeros((1, 8), jnp.int32),
+                       jnp.zeros((1, 16), jnp.float32),
+                       jnp.zeros((1, 16), jnp.int32))
