@@ -336,29 +336,11 @@ class ReceiverConfig:
     def _mega_capable(self) -> bool:
         """Whether the multi-ms megakernel's int32-view framing fits this
         front end (see track.megakernel / tables.mega_window)."""
-        if not (self.track_block_ms > 1 and self.samples_per_code % 4 == 0
-                and self.track_tile % 4 == 0):
-            return False
-        # The frames builder removes the <=127-word DMA alignment residual
-        # with TWO power-of-two-width rolls stitched at a static lane-tile
-        # boundary (megakernel._builder_kernel).  Region 1 copies
-        # roll(slab[:p2], -res)[0:m_split], which is wrap-free only when
-        # m_split + 127 < p2, and the stitch/store slices must sit on
-        # 128-word tiles.  Window geometries that break either bound
-        # (win/4 not a multiple of 128 words) fall back to the per-ms
-        # pallas/onehot correlators instead of building corrupt frames.
-        from softgnss_tpu.track.tables import (MEGA_ALIGN_W, MEGA_PACK,
-                                               mega_window)
-        win_w = mega_window(self) // MEGA_PACK
-        if win_w % MEGA_ALIGN_W:
-            return False
-        w_slab = win_w + MEGA_ALIGN_W
-        p2 = 1 << (w_slab.bit_length() - 1)
-        if p2 != w_slab:
-            m_split = max(p2 // 2, w_slab - p2)
-            if m_split > p2 - MEGA_ALIGN_W:
-                return False
-        return True
+        # NB: the frames builder's sliding-roll residual shift
+        # (megakernel._builder_kernel) is wrap-free for ANY window
+        # geometry, so no extra alignment condition is needed here.
+        return (self.track_block_ms > 1 and self.samples_per_code % 4 == 0
+                and self.track_tile % 4 == 0)
 
     @property
     def track_pack(self) -> int:

@@ -537,8 +537,12 @@ def _builder_kernel(starts_ref, cap_ref, out_ref, scratch, sems, *,
     channel, next-millisecond copies issued as each slot is consumed —
     then shifted down by the <=127-word residual.  tpu.dynamic_rotate
     mis-rotates non-power-of-two widths (measured: off by a constant
-    tile count), so the shift is synthesized from TWO power-of-two-width
-    rolls stitched at a static tile boundary.
+    tile count), so the shift is applied by SLIDING power-of-two-width
+    rolls: window [base_r, base_r+W) of the slab, rolled down by
+    ``res + (base - base_r)``, yields output words [base, base+W-128)
+    wrap-free (proof in scripts/builder_time.py; measured ~10% faster
+    than the earlier two-roll stitch and valid for ANY window geometry,
+    where the stitch required win/4 to sit on the 128-word lane tile).
     """
     pack = MEGA_PACK
     win_w = mega_window(config) // pack
@@ -546,14 +550,12 @@ def _builder_kernel(starts_ref, cap_ref, out_ref, scratch, sems, *,
     spc_w = config.samples_per_code // pack
     j = pl.program_id(0)
 
-    # split-roll geometry (static): largest pow2 window <= w_slab
-    p2 = 1 << (w_slab.bit_length() - 1)
-    if p2 == w_slab:
-        d_off = 0
-        m_split = win_w                      # single roll suffices
-    else:
-        d_off = w_slab - p2                  # second region lane offset
-        m_split = max(p2 // 2, d_off)        # stitch point (128-multiple)
+    # roll-window width (static): fixed 2048 keeps the unroll short; the
+    # largest pow2 <= w_slab for small front ends.  fresh = W - 128 output
+    # words per window is a lane-tile multiple, so stores stay aligned.
+    W = min(2048, 1 << (w_slab.bit_length() - 1))
+    fresh = W - MEGA_ALIGN_W
+    assert fresh > 0, f"slab too narrow for the roll window (w_slab={w_slab})"
 
     def _start(jj, c):
         al = pl.multiple_of(
@@ -575,12 +577,19 @@ def _builder_kernel(starts_ref, cap_ref, out_ref, scratch, sems, *,
                               sems.at[jnp.int32(c)]).wait()
         res = f - ((f >> 7) << 7)
         slab = scratch[c]                                 # (1, w_slab)
-        r1 = pltpu.roll(slab[:, :p2], -res, 1)            # [res, res+p2)
-        out_ref[0, c, :m_split] = r1[0, :m_split]
-        if m_split < win_w:
-            r2 = pltpu.roll(slab[:, d_off:d_off + p2], -res, 1)
-            out_ref[0, c, m_split:win_w] = r2[0, m_split - d_off:
-                                              win_w - d_off]
+        base = 0
+        while base < win_w:
+            n_out = min(fresh, win_w - base)
+            # keep the W-wide window inside the slab; fold the overhang
+            # into the roll amount.  Wrap-free: with base_r = base the
+            # shift is res <= 127 and n_out <= W - 128; with the clamped
+            # base_r = w_slab - W the highest read index is
+            # win_w - base + res + base - base_r - 1 <= W - 1.
+            base_r = min(base, w_slab - W)
+            rw = pltpu.roll(slab[:, base_r:base_r + W],
+                            -(res + (base - base_r)), 1)
+            out_ref[0, c, base:base + n_out] = rw[0, :n_out]
+            base += n_out
 
         @pl.when(j + 1 < r)
         def _pre(c=c):
@@ -598,14 +607,6 @@ def build_frames(config: ReceiverConfig, r: int, c_dim: int, cap2, starts_w):
     pack = MEGA_PACK
     win_w = mega_window(config) // pack
     w_slab = win_w + MEGA_ALIGN_W
-    # split-roll stitch invariants (mirrors config._mega_capable): region 1
-    # reads roll(slab[:p2], -res)[0:m_split] with res <= 127, wrap-free
-    # only when m_split + 127 < p2; the stitch must sit on a lane tile.
-    p2 = 1 << (w_slab.bit_length() - 1)
-    assert win_w % MEGA_ALIGN_W == 0 and (
-        p2 == w_slab or max(p2 // 2, w_slab - p2) <= p2 - MEGA_ALIGN_W), (
-        f"frames-builder split-roll geometry unsafe for win_w={win_w} "
-        "(config._mega_capable should have rejected this front end)")
     kernel = functools.partial(_builder_kernel, config=config, r=r,
                                c_dim=c_dim)
     # scalar prefetch (not a plain SMEM operand: SMEM refs + a grid under

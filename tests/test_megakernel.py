@@ -143,23 +143,45 @@ class TestMegakernelOracle:
 
 
 class TestMegaGeometryGuards:
-    """Front ends whose frames-builder split-roll geometry is unsafe must
-    fall back to the per-ms correlators instead of building corrupt
-    frames (megakernel._builder_kernel region-1 wrap bound)."""
+    """The frames builder's sliding-roll residual shift must be exact for
+    ANY window geometry (megakernel._builder_kernel wrap-free bound), and
+    the kernel's static range asserts must reject out-of-range front
+    ends instead of silently corrupting correlators."""
 
     def test_default_config_stays_mega_capable(self):
         assert sg.default_config()._mega_capable
         assert sg.fast_config(track_block_ms=16)._mega_capable
 
-    def test_unaligned_window_falls_back(self):
-        # track_tile=12 gives win/4 % 128 != 0: the two-roll residual
-        # shift could read wrapped slab lanes, so the megakernel must be
-        # rejected and 'auto' resolve to a per-ms implementation
-        cfg = sg.default_config(track_tile=12)
-        assert not cfg._mega_capable
-        assert cfg.resolved_correlator in ("pallas", "onehot")
-        with pytest.raises(ValueError, match="megakernel"):
-            _ = cfg.with_options(correlator_impl="megakernel").track_pack
+    @pytest.mark.parametrize("tile", [12, 64, 128])
+    def test_builder_frames_exact_odd_geometries(self, tile):
+        # compare build_frames (interpret mode off-TPU) against a plain
+        # numpy gather at the exact per-channel word bases, including
+        # window widths that do NOT sit on the 128-word DMA lane tile
+        import jax.numpy as jnp
+
+        from softgnss_tpu.track.megakernel import build_frames
+        from softgnss_tpu.track.tables import (MEGA_ALIGN_W, MEGA_PACK,
+                                               mega_window)
+
+        cfg = sg.fast_config(track_tile=tile, track_block_ms=8)
+        if not cfg._mega_capable:
+            pytest.skip("front end not mega-capable")
+        r, c_dim = 4, 3
+        win_w = mega_window(cfg) // MEGA_PACK
+        spc_w = cfg.samples_per_code // MEGA_PACK
+        rng = np.random.default_rng(tile)
+        cap = rng.integers(-2**30, 2**30,
+                           (1, r * spc_w + win_w + 4 * MEGA_ALIGN_W),
+                           np.int64).astype(np.int32)
+        starts = rng.integers(0, 2 * MEGA_ALIGN_W, c_dim).astype(np.int32)
+        frames = np.asarray(build_frames(cfg, r, c_dim,
+                                         jnp.asarray(cap),
+                                         jnp.asarray(starts)))
+        for j in range(r):
+            for c in range(c_dim):
+                b = int(starts[c]) + j * spc_w
+                np.testing.assert_array_equal(frames[j, c],
+                                              cap[0, b:b + win_w])
 
     def test_oversized_k_tiles_rejected(self):
         # a chunk span that overflows the int32 per-lane digit ramp must
