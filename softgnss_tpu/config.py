@@ -256,6 +256,18 @@ class ReceiverConfig:
     #: amortize per-step Mosaic overhead at the cost of unrolled kernel
     #: size; 0 = default cap (32)
     pallas_k_tiles: int = 0
+    #: megakernel frame sourcing: True fuses the frames builder's
+    #: slab-DMA + sliding-roll prologue INTO the tracking kernel (per-ms
+    #: frames live only in VMEM scratch; the (r, C, win/4) HBM frames
+    #: array and its write+read round-trip disappear along with the
+    #: separate builder launch); False runs build_frames as its own
+    #: pallas_call feeding the kernel through a pipelined BlockSpec input.
+    #: Measured on v5e (BASELINE.md): the separate builder WINS (median
+    #: 17.4 vs 17.8 us/step) — fused, the residual rolls serialize with
+    #: the correlator instead of overlapping the builder's DMA waits,
+    #: costing more than the saved frames round-trip.  Kept as an option
+    #: (it saves ~29 MB HBM per block; may win where HBM is tighter)
+    mega_fused_frames: bool = False
     #: mesh axis names for sharded runs
     time_axis: str = "time"
     channel_axis: str = "channel"

@@ -216,13 +216,29 @@ def _round_f32_to_i32(x, bound: float):
     return jnp.floor(c + jnp.float32(0.5)).astype(jnp.int32)
 
 
-def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int):
+def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
+            fused: bool = False):
     """One grid step = one millisecond, all channels, all chunks statically
-    unrolled.  See module docstring for the state layout."""
+    unrolled.  See module docstring for the state layout.
+
+    ``fused=False``: per-ms frames arrive as a pipelined BlockSpec input
+    (pre-built in HBM by :func:`build_frames`).  ``fused=True``: the
+    builder's slab-DMA + sliding-roll prologue runs INSIDE this kernel
+    (``frames_ref`` is then the scalar-prefetched frame word offsets and
+    ``rest[0]`` the (1, L) int32 capture slice in ANY memory space);
+    frames live only in a VMEM scratch and the (r, C, win/4) HBM frames
+    array plus its write+read round-trip disappear."""
     n_tab = mega_n_words(config)
-    tab_refs = rest[:n_tab]
-    (hb0_ref, ci_ref, sf_ref, si_ref,
-     ys_ref, sfo_ref, sio_ref, stf, sti) = rest[n_tab:]
+    if fused:
+        starts_ref = frames_ref
+        cap_ref = rest[0]
+        tab_refs = rest[1:1 + n_tab]
+        (hb0_ref, ci_ref, sf_ref, si_ref,
+         ys_ref, sfo_ref, sio_ref, stf, sti, slab, sems, fr) = rest[1 + n_tab:]
+    else:
+        tab_refs = rest[:n_tab]
+        (hb0_ref, ci_ref, sf_ref, si_ref,
+         ys_ref, sfo_ref, sio_ref, stf, sti) = rest[n_tab:]
     pack = MEGA_PACK
     tile = config.track_tile
     spc = config.samples_per_code
@@ -252,6 +268,53 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int):
     def _init():
         stf[...] = sf_ref[...]
         sti[...] = si_ref[...]
+
+    if fused:
+        # --- in-kernel frames: slab DMA + sliding-roll residual shift ------
+        # (the _builder_kernel prologue, writing the VMEM frame scratch
+        # ``fr`` instead of an HBM frames array; next-ms copies issued per
+        # channel right after its rolls, hiding them behind the correlator)
+        win_w = mega_window(config) // pack
+        w_slab = win_w + MEGA_ALIGN_W
+        spc_w = spc // pack
+        c_dim = ci_ref.shape[0]
+        W = min(2048, 1 << (w_slab.bit_length() - 1))
+        fresh = W - MEGA_ALIGN_W
+        assert fresh > 0, f"slab too narrow for the roll window ({w_slab})"
+
+        def _start(jj, c):
+            al = pl.multiple_of(
+                jnp.int32((starts_ref[c] + jj * spc_w >> 7) << 7),
+                MEGA_ALIGN_W)
+            pltpu.make_async_copy(cap_ref.at[:, pl.ds(al, w_slab)],
+                                  slab.at[jnp.int32(c)],
+                                  sems.at[jnp.int32(c)]).start()
+
+        @pl.when(j == 0)
+        def _prime():
+            for c in range(c_dim):
+                _start(0, c)
+
+        for c in range(c_dim):
+            f = starts_ref[c] + j * spc_w
+            al = pl.multiple_of(jnp.int32((f >> 7) << 7), MEGA_ALIGN_W)
+            pltpu.make_async_copy(cap_ref.at[:, pl.ds(al, w_slab)],
+                                  slab.at[jnp.int32(c)],
+                                  sems.at[jnp.int32(c)]).wait()
+            res = f - ((f >> 7) << 7)
+            slab_c = slab[c]                             # (1, w_slab)
+            base = 0
+            while base < win_w:
+                n_out = min(fresh, win_w - base)
+                base_r = min(base, w_slab - W)
+                rw = pltpu.roll(slab_c[:, base_r:base_r + W],
+                                -(res + (base - base_r)), 1)
+                fr[c, base:base + n_out] = rw[0, :n_out]
+                base += n_out
+
+            @pl.when(j + 1 < r)
+            def _pre(c=c):
+                _start(j + 1, c)
 
     # --- per-ms prologue: NCO steps and exact block length ------------------
     code_nco = stf[:, 0:1]
@@ -315,7 +378,10 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int):
             if g:
                 a_g = _dadd(a_g, d_grp)
             cb = b * t_groups + g
-            x32 = frames_ref[0, :, g * span:(g + 1) * span]
+            if fused:
+                x32 = fr[:, g * span:(g + 1) * span]
+            else:
+                x32 = frames_ref[0, :, g * span:(g + 1) * span]
             v = ((x32 << (24 - 8 * b)) >> 24).astype(jnp.float32)
             k_base = b + pack * span * g
             kk = k_base + pack * lane
@@ -462,26 +528,30 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int):
         sio_ref[...] = sti[...]
 
 
+def _check_kernel_ranges(config: ReceiverConfig) -> None:
+    """Static range guards for the in-kernel integer arithmetic:
+    blk rides a 16-bit quotient estimate (est clipped to _M16), so one
+    code period per millisecond must fit 16 bits; the per-lane Q40 digit
+    ramp t0 = a0l + sp0*lane multiplies a <2^16 digit by the lane index,
+    so the chunk span must keep the partial inside int32."""
+    assert config.samples_per_code + 64 < (1 << 16), (
+        "megakernel blk arithmetic needs samples_per_code + 64 < 2^16 "
+        f"(one code period per ms in 16 bits); got {config.samples_per_code}"
+        " — use the onehot/pallas correlators for this front end")
+    kt, _tg = mega_grid(config)
+    span = kt * config.track_tile
+    assert span * _M16 < (1 << 31), (
+        f"megakernel chunk span {span} (k_tiles={kt} x tile="
+        f"{config.track_tile}) overflows the int32 digit ramp "
+        "(span * 65535 must stay below 2^31) — lower config.pallas_k_tiles")
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _mega_call(config: ReceiverConfig, r: int, frames, tabs,
                hb0, consts_i, state_f, state_i):
     """Invoke the megakernel on pre-built per-ms frames (r, C, win/4) i32.
     Returns (ys (r,C,16) f32, state_f' (C,16), state_i' (C,16))."""
-    # static range guards for the in-kernel integer arithmetic:
-    # blk rides a 16-bit quotient estimate (est clipped to _M16), so one
-    # code period per millisecond must fit 16 bits; the per-lane Q40 digit
-    # ramp t0 = a0l + sp0*lane multiplies a <2^16 digit by the lane index,
-    # so the chunk span must keep the partial inside int32.
-    assert config.samples_per_code + 64 < (1 << 16), (
-        "megakernel blk arithmetic needs samples_per_code + 64 < 2^16 "
-        f"(one code period per ms in 16 bits); got {config.samples_per_code}"
-        " — use the onehot/pallas correlators for this front end")
-    _kt, _tg = mega_grid(config)
-    _span = _kt * config.track_tile
-    assert _span * _M16 < (1 << 31), (
-        f"megakernel chunk span {_span} (k_tiles={_kt} x tile="
-        f"{config.track_tile}) overflows the int32 digit ramp "
-        "(span * 65535 must stay below 2^31) — lower config.pallas_k_tiles")
+    _check_kernel_ranges(config)
     c = tabs.shape[0]
     n_tab = tabs.shape[1]
     win = tabs.shape[2]
@@ -522,6 +592,62 @@ def _mega_call(config: ReceiverConfig, r: int, frames, tabs,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(frames, *(tabs[:, u] for u in range(n_tab)), hb0,
+      consts_i, state_f, state_i)
+    return ys, sfo, sio
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _mega_call_fused(config: ReceiverConfig, r: int, cap2, starts_w, tabs,
+                     hb0, consts_i, state_f, state_i):
+    """Invoke the megakernel with the frames builder fused in: per-ms
+    frames are cut from the (1, L) int32 capture slice ``cap2`` at word
+    offsets ``starts_w[c] + j*spc/4`` by in-kernel DMA + rolls (see
+    ``_kernel(fused=True)``); no HBM frames array exists.
+    Returns (ys (r,C,16) f32, state_f' (C,16), state_i' (C,16))."""
+    _check_kernel_ranges(config)
+    c = tabs.shape[0]
+    n_tab = tabs.shape[1]
+    win = tabs.shape[2]
+    win_w = mega_window(config) // MEGA_PACK
+    w_slab = win_w + MEGA_ALIGN_W
+    n_chunks = hb0.shape[1]
+    kernel = functools.partial(_kernel, config=config, r=r, fused=True)
+    zmap2 = lambda j, s: (j * 0, j * 0)              # noqa: E731
+    ys, sfo, sio = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(r,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            + [pl.BlockSpec((c, win), zmap2)] * n_tab + [
+                pl.BlockSpec((c, n_chunks), zmap2),
+                pl.BlockSpec((c, 8), zmap2),
+                pl.BlockSpec((c, 16), zmap2),
+                pl.BlockSpec((c, 16), zmap2),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, c, 16), lambda j, s: (j, j * 0, j * 0)),
+                pl.BlockSpec((c, 16), zmap2),
+                pl.BlockSpec((c, 16), zmap2),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((c, 16), jnp.float32),     # stf
+                pltpu.VMEM((c, 16), jnp.int32),       # sti
+                pltpu.VMEM((c, 1, w_slab), jnp.int32),  # slab
+                pltpu.SemaphoreType.DMA((c,)),        # sems
+                pltpu.VMEM((c, win_w), jnp.int32),    # fr
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, c, 16), jnp.float32),
+            jax.ShapeDtypeStruct((c, 16), jnp.float32),
+            jax.ShapeDtypeStruct((c, 16), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(starts_w, cap2, *(tabs[:, u] for u in range(n_tab)), hb0,
       consts_i, state_f, state_i)
     return ys, sfo, sio
 
@@ -660,14 +786,19 @@ def _mega_overflow(config: ReceiverConfig, active, o, blk):
 
 
 def mega_track_segment(config: ReceiverConfig, r: int, frames, fb0,
-                       tables, carr_basis, active, st):
+                       tables, carr_basis, active, st,
+                       cap2=None, starts_w=None):
     """Track ``r`` consecutive milliseconds for all channels in one fused
     kernel call, returning RAW kernel outputs.
 
     ``frames``: (r, C, win/4) int32 per-ms windows from
     :func:`build_frames`; element 0 of frame (0, c) is absolute capture
     sample ``fb0[c]`` ((C,) int64, a multiple of 4), and frame bases
-    advance exactly samples_per_code per millisecond.
+    advance exactly samples_per_code per millisecond.  Alternatively
+    pass ``frames=None`` with ``cap2`` ((1, L) int32 capture slice) and
+    ``starts_w`` ((C,) int32 ms-0 frame word offsets into it): the
+    frames builder then runs fused inside the kernel
+    (config.mega_fused_frames) and no frames array is materialized.
 
     Returns (new_state, ys (r, C, 16) f32).  The per-ms observables are
     decoded from the stacked raw outputs ONCE per tracking call by
@@ -702,10 +833,16 @@ def mega_track_segment(config: ReceiverConfig, r: int, frames, fb0,
          st.ms.astype(jnp.int32)[:, None],
          jnp.zeros((o0.shape[0], 9), jnp.int32)], axis=1)
 
-    ys, sfo, sio = _mega_call(config, r, frames,
-                              jnp.asarray(tables.mega_tabs),
-                              jnp.asarray(tables.mega_hb0),
-                              consts_i, state_f, state_i)
+    if frames is None:
+        ys, sfo, sio = _mega_call_fused(config, r, cap2, starts_w,
+                                        jnp.asarray(tables.mega_tabs),
+                                        jnp.asarray(tables.mega_hb0),
+                                        consts_i, state_f, state_i)
+    else:
+        ys, sfo, sio = _mega_call(config, r, frames,
+                                  jnp.asarray(tables.mega_tabs),
+                                  jnp.asarray(tables.mega_hb0),
+                                  consts_i, state_f, state_i)
 
     # blk is stored 0 for inactive channels, so the unmasked sum freezes
     # their pointers exactly like the masked per-ms update

@@ -762,16 +762,22 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
             starts_rel = jnp.clip(
                 start_w - pres_base, 0,
                 l_blk - w_slab - (r - 1) * spc_w).astype(jnp.int32)
-            frames = build_frames(config, r, c_dim, pres[None, :],
-                                  starts_rel)
             # fb0 from the (possibly capture-edge-clipped) builder inputs:
             # a clipped base shows up as a too-large o and trips the
             # overflow check instead of silently mis-framing
             fb0 = (pres_base + starts_rel.astype(jnp.int64)) * pack
             # the scan stacks ONLY the raw (r, C, 16) f32 kernel output;
             # observables are decoded once post-scan (mega_finalize)
-            new, ys_raw = mega_track_segment(
-                config, r, frames, fb0, tables, carr_basis, active, st2)
+            if config.mega_fused_frames:
+                # builder fused into the kernel: no HBM frames array
+                new, ys_raw = mega_track_segment(
+                    config, r, None, fb0, tables, carr_basis, active, st2,
+                    cap2=pres[None, :], starts_w=starts_rel)
+            else:
+                frames = build_frames(config, r, c_dim, pres[None, :],
+                                      starts_rel)
+                new, ys_raw = mega_track_segment(
+                    config, r, frames, fb0, tables, carr_basis, active, st2)
             return (new, ovf2), ys_raw
     else:
         scan_segment = None  # defined below

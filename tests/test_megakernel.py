@@ -206,3 +206,20 @@ class TestMegaGeometryGuards:
                        jnp.zeros((1, 8), jnp.int32),
                        jnp.zeros((1, 16), jnp.float32),
                        jnp.zeros((1, 16), jnp.int32))
+
+
+class TestMegaFusedFrames:
+    def test_fused_matches_separate_bitwise(self, setup):
+        """config.mega_fused_frames=True (builder DMA+rolls inside the
+        kernel, no HBM frames array) must be BIT-IDENTICAL to the
+        separate-builder path: same frames, same kernel arithmetic."""
+        cfg, signal, channels = setup
+        base = cfg.with_options(correlator_impl="megakernel")
+        r1 = track(base, signal, channels, n_ms=48)
+        r2 = track(base.with_options(mega_fused_frames=True),
+                   signal, channels, n_ms=48)
+        for f in ("i_p", "i_e", "i_l", "q_e", "q_p", "q_l",
+                  "absolute_sample", "carr_freq", "code_freq"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(r1, f)), np.asarray(getattr(r2, f)),
+                err_msg=f)
