@@ -183,29 +183,21 @@ class TestMegaGeometryGuards:
                 np.testing.assert_array_equal(frames[j, c],
                                               cap[0, b:b + win_w])
 
-    def test_oversized_k_tiles_rejected(self):
-        # a chunk span that overflows the int32 per-lane digit ramp must
-        # trip the static guard, not silently corrupt correlators
-        import jax
+    def test_out_of_range_front_end_rejected(self):
+        # one code period per millisecond must fit the kernel's 16-bit
+        # block-length estimate: a >=~65.5 MHz front end (spc >= 2^16-64)
+        # must trip the static guard, not clamp blk and walk o negative.
+        # (The companion span/digit-ramp assert is defense-in-depth only:
+        # mega_grid caps span <= win/4, which the spc guard already keeps
+        # below the int32 ramp bound.)
+        from softgnss_tpu.track.megakernel import _check_kernel_ranges
 
-        from softgnss_tpu.track.megakernel import _mega_call
-        from softgnss_tpu.track.tables import mega_grid, mega_window
-
-        cfg = sg.default_config(pallas_k_tiles=75)
-        k_tiles, _ = mega_grid(cfg)
-        span = k_tiles * cfg.track_tile
-        if span * 65535 < 2 ** 31:
-            pytest.skip("span within int32 ramp range on this geometry")
-        import jax.numpy as jnp
-        win_w = mega_window(cfg) // 4
-        with pytest.raises(AssertionError, match="digit ramp"):
-            _mega_call(cfg, 2,
-                       jnp.zeros((2, 1, win_w), jnp.int32),
-                       jnp.zeros((1, 1, mega_window(cfg)), jnp.int32),
-                       jnp.zeros((1, 1), jnp.int32),
-                       jnp.zeros((1, 8), jnp.int32),
-                       jnp.zeros((1, 16), jnp.float32),
-                       jnp.zeros((1, 16), jnp.int32))
+        cfg = sg.default_config(sampling_freq=70e6,
+                                intermediate_freq=17.5e6)
+        assert cfg.samples_per_code + 64 >= (1 << 16)
+        assert cfg._mega_capable  # geometry alone does not reject it
+        with pytest.raises(AssertionError, match="2\\^16"):
+            _check_kernel_ranges(cfg)
 
 
 class TestMegaFusedFrames:
