@@ -346,13 +346,32 @@ class ReceiverConfig:
 
     @property
     def _mega_capable(self) -> bool:
-        """Whether the multi-ms megakernel's int32-view framing fits this
-        front end (see track.megakernel / tables.mega_window)."""
+        """Whether the multi-ms megakernel's int32-view framing and
+        in-kernel integer ranges fit this front end, so ``'auto'``
+        degrades gracefully instead of tripping the kernel's loud range
+        asserts (see track.megakernel._check_kernel_ranges /
+        tables.mega_lane_tables)."""
         # NB: the frames builder's sliding-roll residual shift
         # (megakernel._builder_kernel) is wrap-free for ANY window
         # geometry, so no extra alignment condition is needed here.
-        return (self.track_block_ms > 1 and self.samples_per_code % 4 == 0
-                and self.track_tile % 4 == 0)
+        if not (self.track_block_ms > 1 and self.samples_per_code % 4 == 0
+                and self.track_tile % 4 == 0):
+            return False
+        # blk rides a 16-bit in-kernel quotient (one code period per ms
+        # must fit 16 bits with slack) — >= ~65.5 MHz front ends don't
+        if self.samples_per_code + 64 >= (1 << 16):
+            return False
+        from softgnss_tpu.track import tables as _tables
+
+        try:
+            s = _tables.subdivision(self)
+        except ValueError:
+            return False
+        # the three taps are read at bits hc, hc+ds, hc+2*ds of ONE
+        # 32-bit funnel window, and the joint-word table caps at 16 words
+        if 2 * int(round(self.dll_correlator_spacing * s)) > 31:
+            return False
+        return _tables.mega_n_words(self) <= 16
 
     @property
     def track_pack(self) -> int:
@@ -365,10 +384,15 @@ class ReceiverConfig:
         if self.resolved_correlator == "megakernel":
             if not self._mega_capable:
                 raise ValueError(
-                    "correlator_impl='megakernel' needs track_block_ms > 1 "
-                    "and samples_per_code/track_tile divisible by 4; got "
+                    "correlator_impl='megakernel' needs track_block_ms > 1, "
+                    "samples_per_code/track_tile divisible by 4, "
+                    "samples_per_code + 64 < 2^16, and a correlator spacing "
+                    "whose joint code words fit the 32-bit funnel window "
+                    "(2*round(spacing*subdivision) <= 31, <= 16 words); got "
                     f"spc={self.samples_per_code}, tile={self.track_tile}, "
-                    f"block_ms={self.track_block_ms}")
+                    f"block_ms={self.track_block_ms}, "
+                    f"spacing={self.dll_correlator_spacing} — use the "
+                    "onehot/pallas correlators for this front end")
             return 4
         p = self.track_pack_size
         if (p in (2, 4)

@@ -490,9 +490,11 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
     # --- almanac collection (beyond the reference, which discards
     # --- subframes 4-5 entirely, ephemeris.py:88-91) ------------------------
     # every satellite broadcasts the constellation almanac one page per
-    # 30-s frame; collect whatever pages this capture spans from the
-    # first decodable channel (see message.decode_almanac_pages /
-    # almanac_to_ephemeris for acquisition assistance from the result)
+    # 30-s frame; merge whatever parity-valid pages each channel of this
+    # capture yields (a channel whose pages all fail parity contributes
+    # nothing and the next channel is still tried — see
+    # message.decode_almanac_pages / almanac_to_ephemeris for acquisition
+    # assistance from the result)
     from softgnss_tpu.nav.message import decode_almanac_pages
 
     almanac: dict[int, object] = {}
@@ -510,11 +512,12 @@ def post_navigate(config: ReceiverConfig, track, ephemerides=None,
         window = i_p[ch, start - 2 * _MS_PER_BIT:
                      start + 300 * n_sub * _MS_PER_BIT]
         bits = np.where(window.reshape(-1, _MS_PER_BIT).sum(axis=1) > 0, 1, -1)
-        almanac = decode_almanac_pages(bits[2:], bits[1], d29star=bits[0])
-        if almanac:
-            logger.info("Collected %d almanac page(s): PRNs %s.",
-                        len(almanac), sorted(almanac))
-        break
+        pages = decode_almanac_pages(bits[2:], bits[1], d29star=bits[0])
+        for prn, page in pages.items():
+            almanac.setdefault(prn, page)
+    if almanac:
+        logger.info("Collected %d almanac page(s): PRNs %s.",
+                    len(almanac), sorted(almanac))
 
     # --- epoch setup -------------------------------------------------------
     c_ch = i_p.shape[0]

@@ -199,10 +199,11 @@ def mega_width(config: ReceiverConfig) -> int:
 
 def mega_n_words(config: ReceiverConfig) -> int:
     """i32 words per lane holding the joint code bits, with 16 bits of the
-    last word reserved for the lane's sub-chip base offset.  2 at the
-    reference front end (fs=38.192 MHz); more only for low-fs configs
-    whose per-sample chip advance magnifies the o-residual window (those
-    run interpreted on CPU in tests, where width is free)."""
+    last word reserved for the lane's sub-chip base offset.  1 at the
+    reference front end (fs=38.192 MHz, joint width 15 bits); more only
+    for low-fs configs whose per-sample chip advance magnifies the
+    o-residual window (those run interpreted on CPU in tests, where
+    width is free)."""
     return (mega_width(config) + 16 + 31) // 32
 
 
@@ -238,6 +239,13 @@ def mega_lane_tables(config: ReceiverConfig, prns: np.ndarray,
     c = len(prns)
     s = subdivision(config)
     ds = int(round(config.dll_correlator_spacing * s))
+    if 2 * ds > 31:
+        raise ValueError(
+            f"megakernel taps read bits hc, hc+{ds}, hc+{2 * ds} of one "
+            "32-bit funnel window — 2*round(spacing*subdivision) must stay "
+            f"<= 31 (spacing={config.dll_correlator_spacing}, "
+            f"subdivision={s}); use the onehot/pallas correlators for this "
+            "spacing")
     w_bits = mega_width(config)
     n_words = mega_n_words(config)
     if n_words > 16:

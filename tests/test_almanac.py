@@ -101,6 +101,56 @@ class TestAlmanacAssist:
         assert np.nanmax(np.abs(f_alm[sel] - f_full[sel])) < 50.0
 
 
+class TestAlmanacMergeAcrossChannels:
+    def test_first_channel_parity_failure_does_not_end_collection(self):
+        """A first channel whose almanac pages all fail parity must not
+        stop the collection — pages from the remaining channels are
+        merged (nav/solve.py almanac loop; the old code broke after the
+        first eligible channel's decode attempt)."""
+        from softgnss_tpu.nav.solve import post_navigate
+        from tests.test_postnav import (N_MS, TOW_COUNT, build_track,
+                                        travel_time, visible_constellation)
+        from softgnss_tpu.nav.geodesy import geo2cart
+
+        config = sg.fast_config(number_of_channels=5, ms_to_process=N_MS,
+                                use_trop_corr=False)
+        rx = np.asarray(geo2cart(np.array([47.0, 0, 0]),
+                                 np.array([8.5, 0, 0]), 500.0, 4))
+        t_rx0 = TOW_COUNT * 6.0 - 0.35
+        ephs = visible_constellation(rx, 5, TOW_COUNT * 6.0)
+        alm = {p: ephemeris_to_almanac(ephs[(p - 1) % len(ephs)], p)
+               for p in range(1, 25)}
+        track = build_track(config, rx, ephs, t_rx0, almanac=alm)
+
+        # corrupt ONLY channel 0's subframe-5 almanac data words: flip
+        # alternate data bits of words 3..10 (0-based 2..9), keeping each
+        # word's parity bits (so the D29*/D30* polarity chain into the
+        # following subframe stays intact) and subframes 1-3 (so the
+        # ephemeris decode succeeds and channel 0 stays active/first).
+        eph0 = ephs[0]
+        fs = config.sampling_freq  # noqa: F841  (geometry recompute below)
+        tau0 = travel_time(rx, eph0, t_rx0)
+        t_anchor = np.floor((t_rx0 - tau0) * 1000.0) / 1000.0
+        m = np.arange(N_MS)
+        t_tx = t_anchor + (m + 1) * 1e-3
+        t_bits0 = (TOW_COUNT - 1) * 6.0
+        bit_idx = np.floor((t_tx - 1e-3 / 2 - t_bits0) / 0.02).astype(np.int64)
+        sf_id = (TOW_COUNT - 1 + bit_idx // 300) % 5 + 1
+        b_in = bit_idx % 300
+        w = b_in // 30
+        b_in_w = b_in % 30
+        flip = ((sf_id == 5) & (w >= 2) & (b_in_w < 24) & (b_in_w % 2 == 0))
+        track.i_p[0, flip] *= -1.0
+
+        sol, eph_by_prn = post_navigate(config, track)
+        assert sol is not None
+        assert eph_by_prn[0] is not None  # channel 0 (PRN 1) stayed decodable
+        assert sol.almanac                # pages merged from channels 1+
+        # and the merged pages are real: they round-trip the injected one
+        for prn, page in sol.almanac.items():
+            assert abs(page.sqrt_a - alm[prn].sqrt_a) <= 2.0 ** -11 + 1e-9
+
+
 @pytest.mark.slow
 class TestAlmanacEndToEnd:
     def test_receiver_collects_pages(self):

@@ -195,9 +195,28 @@ class TestMegaGeometryGuards:
         cfg = sg.default_config(sampling_freq=70e6,
                                 intermediate_freq=17.5e6)
         assert cfg.samples_per_code + 64 >= (1 << 16)
-        assert cfg._mega_capable  # geometry alone does not reject it
+        # 'auto' must degrade gracefully (pallas/onehot), not crash later
+        assert not cfg._mega_capable
+        # an explicit 'megakernel' choice stays loud
+        with pytest.raises(ValueError, match="2\\^16"):
+            _ = cfg.with_options(correlator_impl="megakernel").track_pack
         with pytest.raises(AssertionError, match="2\\^16"):
             _check_kernel_ranges(cfg)
+
+    def test_wide_spacing_rejected(self):
+        # the joint-word taps are read at bits hc, hc+ds, hc+2*ds of ONE
+        # 32-bit funnel window: spacing 17/32 (subdivision 32, ds=17)
+        # would build a 1<<34 tap mask — 'auto' must not pick the
+        # megakernel, and building its tables must raise, not wrap.
+        from softgnss_tpu.track.tables import mega_lane_tables, subdivision
+
+        cfg = sg.default_config(dll_correlator_spacing=17 / 32)
+        assert subdivision(cfg) == 32
+        assert not cfg._mega_capable
+        with pytest.raises(ValueError, match="funnel"):
+            mega_lane_tables(cfg, np.array([1]), None)
+        with pytest.raises(ValueError, match="funnel"):
+            _ = cfg.with_options(correlator_impl="megakernel").track_pack
 
 
 class TestMegaFusedFrames:

@@ -76,7 +76,7 @@ class FakeTrack:
     pass
 
 
-def build_track(config, rx, ephs, t_rx0, utc=None):
+def build_track(config, rx, ephs, t_rx0, utc=None, almanac=None):
     """Fabricate TrackResults-like observables for the given geometry.
 
     ``t_rx0``: GPS time at tracked millisecond 0.  For channel i, the nav
@@ -97,7 +97,7 @@ def build_track(config, rx, ephs, t_rx0, utc=None):
 
     for ch, eph in enumerate(ephs):
         stream = build_nav_stream(eph, TOW_COUNT - 1, n_bits // 300 + 2,
-                                  utc=utc)
+                                  utc=utc, almanac=almanac)
         tau0 = travel_time(rx, eph, t_rx0)
         # transmit times of the code periods logged at each ms.  A
         # code-locked tracker's period boundaries sit on the satellite's
