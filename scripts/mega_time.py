@@ -13,7 +13,7 @@ import numpy as np
 import softgnss_tpu as sg
 from softgnss_tpu.acquire.search import Channels
 from softgnss_tpu.signals.synth import SatelliteSignal, synthesize_signal
-from softgnss_tpu.track.megakernel import _mega_call
+from softgnss_tpu.track.megakernel import _mega_call, _pad_rows, mega_c_pad
 from softgnss_tpu.track.scan import _track_device, initial_state
 from softgnss_tpu.track.tables import build_tables, mega_window
 
@@ -33,11 +33,14 @@ tables = build_tables(cfg, prns, freqs)
 tabs = jnp.asarray(tables.mega_tabs)
 hb0 = jnp.asarray(tables.mega_hb0)
 rng = np.random.default_rng(0)
-frames = jnp.asarray(rng.integers(-2**30, 2**30, (B, C, win // 4),
+CP = mega_c_pad(C)
+frames = jnp.asarray(rng.integers(-2**30, 2**30, (B, CP, win // 4),
                                   np.int64).astype(np.int32))
-ci = jnp.zeros((C, 8), jnp.int32).at[:, 1].set(1).at[:, 0].set(123456789)
-sf = jnp.zeros((C, 16), jnp.float32)
-si = jnp.zeros((C, 16), jnp.int32).at[:, 0].set(60).at[:, 4].set(4000)
+tabs = _pad_rows(tabs, CP)
+hb0 = _pad_rows(hb0, CP)
+ci = jnp.zeros((CP, 8), jnp.int32).at[:C, 1].set(1).at[:, 0].set(123456789)
+sf = jnp.zeros((CP, 16), jnp.float32)
+si = jnp.zeros((CP, 16), jnp.int32).at[:, 0].set(60).at[:, 4].set(4000)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -46,7 +49,7 @@ def kloop(sf_, n):
         ys, sfo, sio = _mega_call(cfg, B, frames, tabs, hb0, ci,
                                   carry + sf_ * 0, si)
         return carry + sfo * 1e-9, ys[0, 0, 0]
-    c, ys = jax.lax.scan(step, jnp.zeros((C, 16), jnp.float32), None, length=n)
+    c, ys = jax.lax.scan(step, jnp.zeros((CP, 16), jnp.float32), None, length=n)
     return ys.sum() + c.sum()
 
 

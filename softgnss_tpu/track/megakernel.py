@@ -217,7 +217,7 @@ def _round_f32_to_i32(x, bound: float):
 
 
 def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
-            fused: bool = False):
+            fused: bool = False, c_real: int | None = None):
     """One grid step = one millisecond, all channels, all chunks statically
     unrolled.  See module docstring for the state layout.
 
@@ -277,7 +277,7 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
         win_w = mega_window(config) // pack
         w_slab = win_w + MEGA_ALIGN_W
         spc_w = spc // pack
-        c_dim = ci_ref.shape[0]
+        c_dim = c_real if c_real is not None else ci_ref.shape[0]
         W = min(2048, 1 << (w_slab.bit_length() - 1))
         fresh = W - MEGA_ALIGN_W
         assert fresh > 0, f"slab too narrow for the roll window ({w_slab})"
@@ -596,8 +596,9 @@ def _mega_call(config: ReceiverConfig, r: int, frames, tabs,
     return ys, sfo, sio
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _mega_call_fused(config: ReceiverConfig, r: int, cap2, starts_w, tabs,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _mega_call_fused(config: ReceiverConfig, r: int, c_real: int,
+                     cap2, starts_w, tabs,
                      hb0, consts_i, state_f, state_i):
     """Invoke the megakernel with the frames builder fused in: per-ms
     frames are cut from the (1, L) int32 capture slice ``cap2`` at word
@@ -611,7 +612,8 @@ def _mega_call_fused(config: ReceiverConfig, r: int, cap2, starts_w, tabs,
     win_w = mega_window(config) // MEGA_PACK
     w_slab = win_w + MEGA_ALIGN_W
     n_chunks = hb0.shape[1]
-    kernel = functools.partial(_kernel, config=config, r=r, fused=True)
+    kernel = functools.partial(_kernel, config=config, r=r, fused=True,
+                               c_real=c_real)
     zmap2 = lambda j, s: (j * 0, j * 0)              # noqa: E731
     ys, sfo, sio = pl.pallas_call(
         kernel,
@@ -633,8 +635,8 @@ def _mega_call_fused(config: ReceiverConfig, r: int, cap2, starts_w, tabs,
             scratch_shapes=[
                 pltpu.VMEM((c, 16), jnp.float32),     # stf
                 pltpu.VMEM((c, 16), jnp.int32),       # sti
-                pltpu.VMEM((c, 1, w_slab), jnp.int32),  # slab
-                pltpu.SemaphoreType.DMA((c,)),        # sems
+                pltpu.VMEM((c_real, 1, w_slab), jnp.int32),  # slab
+                pltpu.SemaphoreType.DMA((c_real,)),   # sems
                 pltpu.VMEM((c, win_w), jnp.int32),    # fr
             ],
         ),
@@ -650,6 +652,15 @@ def _mega_call_fused(config: ReceiverConfig, r: int, cap2, starts_w, tabs,
     )(starts_w, cap2, *(tabs[:, u] for u in range(n_tab)), hb0,
       consts_i, state_f, state_i)
     return ys, sfo, sio
+
+
+def _pad_rows(x, c_pad: int):
+    """Pad axis 0 (channels) with zero rows up to ``c_pad``."""
+    c = x.shape[0]
+    if c == c_pad:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((c_pad - c,) + x.shape[1:], x.dtype)], axis=0)
 
 
 def _builder_kernel(starts_ref, cap_ref, out_ref, scratch, sems, *,
@@ -722,17 +733,33 @@ def _builder_kernel(starts_ref, cap_ref, out_ref, scratch, sems, *,
             _start(j + 1, c)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def build_frames(config: ReceiverConfig, r: int, c_dim: int, cap2, starts_w):
+def mega_c_pad(c: int) -> int:
+    """Kernel channel-row count: channels padded up to a multiple of 8
+    (the f32/i32 sublane tile).  A (12, span) tensor is not merely padded
+    to 16 rows by Mosaic — the misaligned sublane dim costs MORE than
+    running 16 aligned rows (measured on v5e: 17.8 us/ms at C=12 vs
+    14.5 at C=16), so every per-sample kernel tensor rides a padded
+    channel axis and outputs are sliced back."""
+    return max(8, (c + 7) // 8 * 8)
+
+
+@functools.partial(jax.jit,
+                   static_argnums=(0, 1, 2), static_argnames=("c_pad",))
+def build_frames(config: ReceiverConfig, r: int, c_dim: int, cap2, starts_w,
+                 c_pad: int | None = None):
     """Gather (r, C, win/4) i32 per-ms frames from a (1, L) int32 capture
     slice.  ``starts_w``: (C,) i32 frame word offsets of millisecond 0
     relative to the slice; frame (j, c) covers words
     [starts_w[c] + j*spc/4, + win/4) — exact bases, no alignment residue,
     at DMA-copy speed (the XLA batched dynamic-slice gather for the same
-    job measured ~7 us per tracked millisecond; this builder ~2 us)."""
+    job measured ~7 us per tracked millisecond; this builder ~2 us).
+    ``c_pad``: output channel-row count (>= c_dim; see :func:`mega_c_pad`)
+    — rows past c_dim are never written (the tracking kernel masks them)."""
     pack = MEGA_PACK
     win_w = mega_window(config) // pack
     w_slab = win_w + MEGA_ALIGN_W
+    if c_pad is None:
+        c_pad = c_dim
     kernel = functools.partial(_builder_kernel, config=config, r=r,
                                c_dim=c_dim)
     # scalar prefetch (not a plain SMEM operand: SMEM refs + a grid under
@@ -744,14 +771,14 @@ def build_frames(config: ReceiverConfig, r: int, c_dim: int, cap2, starts_w):
             num_scalar_prefetch=1,
             grid=(r,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((1, c_dim, win_w),
+            out_specs=pl.BlockSpec((1, c_pad, win_w),
                                    lambda j, s: (j, j * 0, j * 0)),
             scratch_shapes=[
                 pltpu.VMEM((c_dim, 1, w_slab), jnp.int32),
                 pltpu.SemaphoreType.DMA((c_dim,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((r, c_dim, win_w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((r, c_pad, win_w), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -833,16 +860,25 @@ def mega_track_segment(config: ReceiverConfig, r: int, frames, fb0,
          st.ms.astype(jnp.int32)[:, None],
          jnp.zeros((o0.shape[0], 9), jnp.int32)], axis=1)
 
+    # channel rows padded to the sublane tile for every per-sample kernel
+    # tensor (see mega_c_pad); outputs slice back to the real channels
+    c = int(active.shape[0])
+    cp = mega_c_pad(c)
+    tabs_p = _pad_rows(jnp.asarray(tables.mega_tabs), cp)
+    hb0_p = _pad_rows(jnp.asarray(tables.mega_hb0), cp)
+    consts_i = _pad_rows(consts_i, cp)
+    state_f = _pad_rows(state_f, cp)
+    state_i = _pad_rows(state_i, cp)
     if frames is None:
-        ys, sfo, sio = _mega_call_fused(config, r, cap2, starts_w,
-                                        jnp.asarray(tables.mega_tabs),
-                                        jnp.asarray(tables.mega_hb0),
+        ys, sfo, sio = _mega_call_fused(config, r, c, cap2, starts_w,
+                                        tabs_p, hb0_p,
                                         consts_i, state_f, state_i)
     else:
-        ys, sfo, sio = _mega_call(config, r, frames,
-                                  jnp.asarray(tables.mega_tabs),
-                                  jnp.asarray(tables.mega_hb0),
+        ys, sfo, sio = _mega_call(config, r, frames, tabs_p, hb0_p,
                                   consts_i, state_f, state_i)
+    ys = ys[:, :c]
+    sfo = sfo[:c]
+    sio = sio[:c]
 
     # blk is stored 0 for inactive channels, so the unmasked sum freezes
     # their pointers exactly like the masked per-ms update
