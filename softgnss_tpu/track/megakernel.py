@@ -367,7 +367,21 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
     # lookup is a per-lane funnel shift of the static joint word sequence
     # (tables.mega_lane_tables) + three bit tests — no repeats, no
     # per-tile temporaries.
+    #
+    # Everything lane-dependent but chunk-INdependent is computed once per
+    # millisecond and reused by all pack*t_groups chunks: the carrier
+    # lane table (sin/cos of the per-lane NCO ramp, combined per chunk by
+    # the angle-addition identity from a per-channel scalar rotation) and
+    # the Q40 digit-ramp lane products.  The identity is exact in phase
+    # (integer turns split mod 2^32); the only cost is ~1e-7 of f32
+    # rounding in the 2-term combination, far under the correlator parity
+    # budget.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
+    sl_lane, cl_lane = _sincos_counts((w_carr * pack) * lane)    # (C, span)
+    r_0 = sp0 * lane                                             # (C, span)
+    r_1 = sp1 * lane
+    r_2 = sp2 * lane
+    pl_lane = pack * lane                                        # (1, span)
     acc_sp = [None] * 6
     a_b = a0
     for b in range(pack):
@@ -384,24 +398,27 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
                 x32 = frames_ref[0, :, g * span:(g + 1) * span]
             v = ((x32 << (24 - 8 * b)) >> 24).astype(jnp.float32)
             k_base = b + pack * span * g
-            kk = k_base + pack * lane
+            kk = k_base + pl_lane
             mask = jnp.logical_and(kk >= o, kk < o + blk)
             raw = jnp.where(mask, v, jnp.float32(0.0))
 
-            counts = (phase_eff + w_carr * k_base) + (w_carr * pack) * lane
-            sn, cs = _sincos_counts(counts)
+            # carrier: per-channel scalar rotation x shared lane table
+            s0, c0 = _sincos_counts(phase_eff + w_carr * k_base)  # (C, 1)
+            sn = s0 * cl_lane + c0 * sl_lane
+            cs = c0 * cl_lane - s0 * sl_lane
             bb_i = sn * raw                          # (C, span)
             bb_q = cs * raw
             nb_i = -bb_i
             nb_q = -bb_q
 
             # exact Q40 digit phase ramp (chunk base carried
-            # incrementally; per-channel table base folded in a0)
+            # incrementally; per-channel table base folded in a0;
+            # digit-lane products shared across chunks)
             a0l, a1l = a_g[0], a_g[1]
             a2l = a_g[2] + (a_g[3] << 16)
-            t0 = a0l + sp0 * lane                    # (C, span)
-            t1 = a1l + sp1 * lane + (t0 >> 16)
-            t2 = a2l + sp2 * lane + (t1 >> 16)
+            t0 = a0l + r_0                           # (C, span)
+            t1 = a1l + r_1 + (t0 >> 16)
+            t2 = a2l + r_2 + (t1 >> 16)
 
             sl = slice(cb * span, (cb + 1) * span)
             ws = [pltpu.bitcast(t_ref[:, sl], jnp.uint32)
@@ -420,15 +437,21 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
             # Valid lanes read bits hc..hc+2ds, which never reach the last
             # word's non-code bits (mega_lane_tables reserves them), so
             # the missing high word of the last pair can be anything.
-            sh = None
-            for u in range(n_tab):
-                whi = ws[u + 1] if u + 1 < n_tab else ws[u]
-                sh_u = (ws[u] >> hs) | ((whi << (jnp.uint32(31) - hs))
-                                        << jnp.uint32(1))
-                if sh is None:
-                    sh = sh_u
-                else:
-                    sh = jnp.where((hc >> 5) == u, sh_u, sh)
+            # n_tab == 1 (the reference front end: joint width 15 bits):
+            # valid lanes' window fits the single word's low 16 bits, so
+            # one logical shift IS the funnel.
+            if n_tab == 1:
+                sh = ws[0] >> hs
+            else:
+                sh = None
+                for u in range(n_tab):
+                    whi = ws[u + 1] if u + 1 < n_tab else ws[u]
+                    sh_u = (ws[u] >> hs) | ((whi << (jnp.uint32(31) - hs))
+                                            << jnp.uint32(1))
+                    if sh is None:
+                        sh = sh_u
+                    else:
+                        sh = jnp.where((hc >> 5) == u, sh_u, sh)
             for x, bit in enumerate((1, 1 << ds, 1 << (2 * ds))):
                 up = (sh & jnp.uint32(bit)) != 0
                 ti = jnp.where(up, bb_i, nb_i)
