@@ -13,9 +13,10 @@ import numpy as np
 import softgnss_tpu as sg
 from softgnss_tpu.acquire.search import Channels
 from softgnss_tpu.signals.synth import SatelliteSignal, synthesize_signal
-from softgnss_tpu.track.megakernel import _mega_call, _pad_rows, mega_c_pad
+from softgnss_tpu.track.megakernel import (_mega_call, _pad_rows,
+                                           mega_c_pad, mega_rows)
 from softgnss_tpu.track.scan import _track_device, initial_state
-from softgnss_tpu.track.tables import build_tables, mega_window
+from softgnss_tpu.track.tables import build_tables, mega_split, mega_window
 
 cfg = sg.default_config(number_of_channels=int(os.environ.get("CH", "12")),
                         correlator_impl="megakernel",
@@ -34,9 +35,11 @@ tabs = jnp.asarray(tables.mega_tabs)
 hb0 = jnp.asarray(tables.mega_hb0)
 rng = np.random.default_rng(0)
 CP = mega_c_pad(C)
-frames = jnp.asarray(rng.integers(-2**30, 2**30, (B, CP, win // 4),
+RP = mega_rows(cfg, C)
+frames = jnp.asarray(rng.integers(-2**30, 2**30,
+                                  (B, RP, win // 4 // mega_split(cfg)),
                                   np.int64).astype(np.int32))
-tabs = _pad_rows(tabs, CP)
+tabs = _pad_rows(tabs, RP)
 hb0 = _pad_rows(hb0, CP)
 ci = jnp.zeros((CP, 8), jnp.int32).at[:C, 1].set(1).at[:, 0].set(123456789)
 sf = jnp.zeros((CP, 16), jnp.float32)
@@ -46,7 +49,7 @@ si = jnp.zeros((CP, 16), jnp.int32).at[:, 0].set(60).at[:, 4].set(4000)
 @functools.partial(jax.jit, static_argnums=(1,))
 def kloop(sf_, n):
     def step(carry, _):
-        ys, sfo, sio = _mega_call(cfg, B, frames, tabs, hb0, ci,
+        ys, sfo, sio = _mega_call(cfg, B, C, frames, tabs, hb0, ci,
                                   carry + sf_ * 0, si)
         return carry + sfo * 1e-9, ys[0, 0, 0]
     c, ys = jax.lax.scan(step, jnp.zeros((CP, 16), jnp.float32), None, length=n)

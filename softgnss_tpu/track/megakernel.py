@@ -79,6 +79,7 @@ from softgnss_tpu.track.tables import (
     mega_grid,
     mega_n_words,
     mega_o_cov,
+    mega_split,
     mega_window,
     subdivision,
 )
@@ -233,12 +234,12 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
         starts_ref = frames_ref
         cap_ref = rest[0]
         tab_refs = rest[1:1 + n_tab]
-        (hb0_ref, ci_ref, sf_ref, si_ref,
-         ys_ref, sfo_ref, sio_ref, stf, sti, slab, sems, fr) = rest[1 + n_tab:]
+        (hb0_ref, ci_ref, sf_ref, si_ref, ys_ref, sfo_ref, sio_ref,
+         stf, sti, exs, slab, sems, fr) = rest[1 + n_tab:]
     else:
         tab_refs = rest[:n_tab]
         (hb0_ref, ci_ref, sf_ref, si_ref,
-         ys_ref, sfo_ref, sio_ref, stf, sti) = rest[n_tab:]
+         ys_ref, sfo_ref, sio_ref, stf, sti, exs) = rest[n_tab:]
     pack = MEGA_PACK
     tile = config.track_tile
     spc = config.samples_per_code
@@ -269,6 +270,8 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
         stf[...] = sf_ref[...]
         sti[...] = si_ref[...]
 
+    s_split = mega_split(config)
+    half_w = mega_window(config) // pack // s_split
     if fused:
         # --- in-kernel frames: slab DMA + sliding-roll residual shift ------
         # (the _builder_kernel prologue, writing the VMEM frame scratch
@@ -309,7 +312,15 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
                 base_r = min(base, w_slab - W)
                 rw = pltpu.roll(slab_c[:, base_r:base_r + W],
                                 -(res + (base - base_r)), 1)
-                fr[c, base:base + n_out] = rw[0, :n_out]
+                # window word w lives at row (w // half_w)*c_dim + c,
+                # column w % half_w (the q-major split-row layout)
+                off = 0
+                while off < n_out:
+                    q = (base + off) // half_w
+                    col = (base + off) % half_w
+                    n_q = min(n_out - off, half_w - col)
+                    fr[q * c_dim + c, col:col + n_q] = rw[0, off:off + n_q]
+                    off += n_q
                 base += n_out
 
             @pl.when(j + 1 < r)
@@ -355,12 +366,17 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
     # once per ms, at the 2^40 scale (h_local = ramp>>40 - per-lane offset)
     beta = hb0_ref[:, 0:1]                           # (C, 1)
     zb = beta * 0
-    a0 = _dsub(a0, [zb, zb, (beta << 8) & _M16, beta >> 8])
+    a0 = _dsub(a0, [zb, zb, (beta * 256) & _M16, beta >> 8])
     s_q = _dmul_small(step, s_div)
     sp = _dmul_small(s_q, pack)
     d_grp = _dmul_u16(s_q, pack * span)              # phase per span group
     sp0, sp1 = sp[0], sp[1]
-    sp2 = sp[2] + (sp[3] << 16)
+    # NB: digit pairing uses * 65536, NOT << 16 — Mosaic (2026-08 libtpu)
+    # miscompiles the constant left-shift to 0 inside this kernel's
+    # unrolled chunk loop (measured: a_g[3] << 16 == 0 on hardware while
+    # a_g[3] * 65536 is correct; interpret mode agrees with the multiply).
+    # Multiply and shift are identical mod 2^32.
+    sp2 = sp[2] + sp[3] * 65536
     phase_eff = sti[:, 1:2] - w_carr * o
 
     # --- correlate: static loops over (byte plane, span chunk).  The code
@@ -376,21 +392,68 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
     # (integer turns split mod 2^32); the only cost is ~1e-7 of f32
     # rounding in the 2-term combination, far under the correlator parity
     # budget.
+    #
+    # Row split (tables.mega_split): with S > 1 each channel's window is
+    # S packed sublane rows (row q*c_real + c = window piece q of channel
+    # c) and the per-channel (cp, 1) scalars expand to q-major (rows, 1)
+    # vectors — the piece's sample offset folds into o/phase/a0, so the
+    # chunk-loop body below is IDENTICAL for any S; the six correlator
+    # sums fold the S pieces back per channel after the loop.
+    rows = tab_refs[0].shape[0]
+    cp = stf.shape[0]
+    if s_split == 1:
+        w_r, phase_r, o_r, blk_r = w_carr, phase_eff, o, blk
+        a0_r, sq_r, dgrp_r = a0, s_q, d_grp
+        sp0_r, sp1_r, sp2_r = sp0, sp1, sp2
+    else:
+        c_r = c_real
+        assert c_r is not None, "row-split kernel needs the real channel count"
+        q_off = pack * half_w                        # samples per row piece
+
+        # the q-major (rows, 1) expansion goes through a VMEM scratch:
+        # tpu.concatenate requires uniform non-concat-dim layout offsets,
+        # which state-column slices don't have — a store/load round-trip
+        # normalizes them, and pad rows stay zero (mask-safe: blk=0)
+        exs[...] = jnp.zeros_like(exs)
+        d_half = _dmul_u16(s_q, q_off)
+        a_q = a0
+        for q in range(s_split):
+            if q:
+                a_q = _dadd(a_q, d_half)
+            sl_q = slice(q * c_r, (q + 1) * c_r)
+            exs[sl_q, 0:1] = w_carr[:c_r]
+            exs[sl_q, 1:2] = (phase_eff + w_carr * jnp.int32(q * q_off))[:c_r]
+            exs[sl_q, 2:3] = (o - jnp.int32(q * q_off))[:c_r]
+            exs[sl_q, 3:4] = blk[:c_r]
+            for i in range(_ND):
+                exs[sl_q, 4 + i:5 + i] = s_q[i][:c_r]
+                exs[sl_q, 8 + i:9 + i] = a_q[i][:c_r]
+        w_r = exs[:, 0:1]
+        phase_r = exs[:, 1:2]
+        o_r = exs[:, 2:3]
+        blk_r = exs[:, 3:4]
+        sq_r = _read_d(exs, 4)
+        a0_r = _read_d(exs, 8)
+        sp_r = _dmul_small(sq_r, pack)
+        dgrp_r = _dmul_u16(sq_r, pack * span)
+        sp0_r, sp1_r = sp_r[0], sp_r[1]
+        sp2_r = sp_r[2] + sp_r[3] * 65536
+
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
-    sl_lane, cl_lane = _sincos_counts((w_carr * pack) * lane)    # (C, span)
-    r_0 = sp0 * lane                                             # (C, span)
-    r_1 = sp1 * lane
-    r_2 = sp2 * lane
-    pl_lane = pack * lane                                        # (1, span)
+    sl_lane, cl_lane = _sincos_counts((w_r * pack) * lane)    # (rows, span)
+    r_0 = sp0_r * lane                                        # (rows, span)
+    r_1 = sp1_r * lane
+    r_2 = sp2_r * lane
+    pl_lane = pack * lane                                     # (1, span)
     acc_sp = [None] * 6
-    a_b = a0
+    a_b = a0_r
     for b in range(pack):
         if b:
-            a_b = _dadd(a_b, s_q)                    # plane phase base
+            a_b = _dadd(a_b, sq_r)                   # plane phase base
         a_g = a_b
         for g in range(t_groups):
             if g:
-                a_g = _dadd(a_g, d_grp)
+                a_g = _dadd(a_g, dgrp_r)
             cb = b * t_groups + g
             if fused:
                 x32 = fr[:, g * span:(g + 1) * span]
@@ -399,11 +462,11 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
             v = ((x32 << (24 - 8 * b)) >> 24).astype(jnp.float32)
             k_base = b + pack * span * g
             kk = k_base + pl_lane
-            mask = jnp.logical_and(kk >= o, kk < o + blk)
+            mask = jnp.logical_and(kk >= o_r, kk < o_r + blk_r)
             raw = jnp.where(mask, v, jnp.float32(0.0))
 
             # carrier: per-channel scalar rotation x shared lane table
-            s0, c0 = _sincos_counts(phase_eff + w_carr * k_base)  # (C, 1)
+            s0, c0 = _sincos_counts(phase_r + w_r * k_base)   # (rows, 1)
             sn = s0 * cl_lane + c0 * sl_lane
             cs = c0 * cl_lane - s0 * sl_lane
             bb_i = sn * raw                          # (C, span)
@@ -415,7 +478,7 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
             # incrementally; per-channel table base folded in a0;
             # digit-lane products shared across chunks)
             a0l, a1l = a_g[0], a_g[1]
-            a2l = a_g[2] + (a_g[3] << 16)
+            a2l = a_g[2] + a_g[3] * 65536  # * not <<: see sp2 note
             t0 = a0l + r_0                           # (C, span)
             t1 = a1l + r_1 + (t0 >> 16)
             t2 = a2l + r_2 + (t1 >> 16)
@@ -461,6 +524,21 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
                                  else acc_sp[3 + x] + tq)
 
     corr = [jnp.sum(a, axis=1, keepdims=True) for a in acc_sp]
+    if s_split > 1:
+        # fold the S window-piece rows back to per-channel sums (cp rows)
+        def _fold(t):
+            tot = t[:c_r]
+            for q in range(1, s_split):
+                tot = tot + t[q * c_r:(q + 1) * c_r]
+            out = [tot]
+            need = cp - c_r
+            while need > 0:              # same-lineage pad (see _exq)
+                take = min(need, c_r)
+                out.append(tot[:take] * 0)
+                need -= take
+            return jnp.concatenate(out, axis=0) if len(out) > 1 else tot
+
+        corr = [_fold(t) for t in corr]
 
     # --- loop filters + state update + outputs -------------------------------
     ms = sti[:, 6:7]
@@ -567,45 +645,54 @@ def _check_kernel_ranges(config: ReceiverConfig) -> None:
         f"megakernel chunk span {span} (k_tiles={kt} x tile="
         f"{config.track_tile}) overflows the int32 digit ramp "
         "(span * 65535 must stay below 2^31) — lower config.pallas_k_tiles")
+    if mega_split(config) > 1:
+        q_off = mega_window(config) // mega_split(config)
+        assert q_off < (1 << 16), (
+            f"megakernel row-piece sample offset {q_off} overflows the "
+            "16-bit digit multiplier (window too wide for the row split)")
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _mega_call(config: ReceiverConfig, r: int, frames, tabs,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _mega_call(config: ReceiverConfig, r: int, c_real: int, frames, tabs,
                hb0, consts_i, state_f, state_i):
-    """Invoke the megakernel on pre-built per-ms frames (r, C, win/4) i32.
-    Returns (ys (r,C,16) f32, state_f' (C,16), state_i' (C,16))."""
+    """Invoke the megakernel on pre-built per-ms frames
+    (r, rows, win/(S*4)) i32 (rows = mega_split x c_real, channel-packed
+    and padded to the sublane tile).  Returns (ys (r,cp,16) f32,
+    state_f' (cp,16), state_i' (cp,16))."""
     _check_kernel_ranges(config)
-    c = tabs.shape[0]
+    rows = tabs.shape[0]
+    cp = state_f.shape[0]
     n_tab = tabs.shape[1]
-    win = tabs.shape[2]
-    win_w = mega_window(config) // MEGA_PACK
+    win_cols = tabs.shape[2]
+    win_w = mega_window(config) // MEGA_PACK // mega_split(config)
     n_chunks = hb0.shape[1]
-    kernel = functools.partial(_kernel, config=config, r=r)
+    kernel = functools.partial(_kernel, config=config, r=r, c_real=c_real)
     zmap2 = lambda j: (j * 0, j * 0)                 # noqa: E731
     ys, sfo, sio = pl.pallas_call(
         kernel,
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, c, win_w), lambda j: (j, j * 0, j * 0)),
-        ] + [pl.BlockSpec((c, win), zmap2)] * n_tab + [
-            pl.BlockSpec((c, n_chunks), zmap2),
-            pl.BlockSpec((c, 8), zmap2),
-            pl.BlockSpec((c, 16), zmap2),
-            pl.BlockSpec((c, 16), zmap2),
+            pl.BlockSpec((1, rows, win_w), lambda j: (j, j * 0, j * 0)),
+        ] + [pl.BlockSpec((rows, win_cols), zmap2)] * n_tab + [
+            pl.BlockSpec((cp, n_chunks), zmap2),
+            pl.BlockSpec((cp, 8), zmap2),
+            pl.BlockSpec((cp, 16), zmap2),
+            pl.BlockSpec((cp, 16), zmap2),
         ],
         out_specs=(
-            pl.BlockSpec((1, c, 16), lambda j: (j, j * 0, j * 0)),
-            pl.BlockSpec((c, 16), zmap2),
-            pl.BlockSpec((c, 16), zmap2),
+            pl.BlockSpec((1, cp, 16), lambda j: (j, j * 0, j * 0)),
+            pl.BlockSpec((cp, 16), zmap2),
+            pl.BlockSpec((cp, 16), zmap2),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((r, c, 16), jnp.float32),
-            jax.ShapeDtypeStruct((c, 16), jnp.float32),
-            jax.ShapeDtypeStruct((c, 16), jnp.int32),
+            jax.ShapeDtypeStruct((r, cp, 16), jnp.float32),
+            jax.ShapeDtypeStruct((cp, 16), jnp.float32),
+            jax.ShapeDtypeStruct((cp, 16), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((c, 16), jnp.float32),         # stf
-            pltpu.VMEM((c, 16), jnp.int32),           # sti
+            pltpu.VMEM((cp, 16), jnp.float32),        # stf
+            pltpu.VMEM((cp, 16), jnp.int32),          # sti
+            pltpu.VMEM((rows, 16), jnp.int32),        # exs (row expansion)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -627,12 +714,14 @@ def _mega_call_fused(config: ReceiverConfig, r: int, c_real: int,
     frames are cut from the (1, L) int32 capture slice ``cap2`` at word
     offsets ``starts_w[c] + j*spc/4`` by in-kernel DMA + rolls (see
     ``_kernel(fused=True)``); no HBM frames array exists.
-    Returns (ys (r,C,16) f32, state_f' (C,16), state_i' (C,16))."""
+    Returns (ys (r,cp,16) f32, state_f' (cp,16), state_i' (cp,16))."""
     _check_kernel_ranges(config)
-    c = tabs.shape[0]
+    rows = tabs.shape[0]
+    cp = state_f.shape[0]
     n_tab = tabs.shape[1]
-    win = tabs.shape[2]
+    win_cols = tabs.shape[2]
     win_w = mega_window(config) // MEGA_PACK
+    half_w = win_w // mega_split(config)
     w_slab = win_w + MEGA_ALIGN_W
     n_chunks = hb0.shape[1]
     kernel = functools.partial(_kernel, config=config, r=r, fused=True,
@@ -644,29 +733,30 @@ def _mega_call_fused(config: ReceiverConfig, r: int, c_real: int,
             num_scalar_prefetch=1,
             grid=(r,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-            + [pl.BlockSpec((c, win), zmap2)] * n_tab + [
-                pl.BlockSpec((c, n_chunks), zmap2),
-                pl.BlockSpec((c, 8), zmap2),
-                pl.BlockSpec((c, 16), zmap2),
-                pl.BlockSpec((c, 16), zmap2),
+            + [pl.BlockSpec((rows, win_cols), zmap2)] * n_tab + [
+                pl.BlockSpec((cp, n_chunks), zmap2),
+                pl.BlockSpec((cp, 8), zmap2),
+                pl.BlockSpec((cp, 16), zmap2),
+                pl.BlockSpec((cp, 16), zmap2),
             ],
             out_specs=(
-                pl.BlockSpec((1, c, 16), lambda j, s: (j, j * 0, j * 0)),
-                pl.BlockSpec((c, 16), zmap2),
-                pl.BlockSpec((c, 16), zmap2),
+                pl.BlockSpec((1, cp, 16), lambda j, s: (j, j * 0, j * 0)),
+                pl.BlockSpec((cp, 16), zmap2),
+                pl.BlockSpec((cp, 16), zmap2),
             ),
             scratch_shapes=[
-                pltpu.VMEM((c, 16), jnp.float32),     # stf
-                pltpu.VMEM((c, 16), jnp.int32),       # sti
+                pltpu.VMEM((cp, 16), jnp.float32),    # stf
+                pltpu.VMEM((cp, 16), jnp.int32),      # sti
+                pltpu.VMEM((rows, 16), jnp.int32),    # exs (row expansion)
                 pltpu.VMEM((c_real, 1, w_slab), jnp.int32),  # slab
                 pltpu.SemaphoreType.DMA((c_real,)),   # sems
-                pltpu.VMEM((c, win_w), jnp.int32),    # fr
+                pltpu.VMEM((rows, half_w), jnp.int32),  # fr
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((r, c, 16), jnp.float32),
-            jax.ShapeDtypeStruct((c, 16), jnp.float32),
-            jax.ShapeDtypeStruct((c, 16), jnp.int32),
+            jax.ShapeDtypeStruct((r, cp, 16), jnp.float32),
+            jax.ShapeDtypeStruct((cp, 16), jnp.float32),
+            jax.ShapeDtypeStruct((cp, 16), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -689,8 +779,10 @@ def _pad_rows(x, c_pad: int):
 def _builder_kernel(starts_ref, cap_ref, out_ref, scratch, sems, *,
                     config: ReceiverConfig, r: int, c_dim: int):
     """Frames builder: grid step j writes frames for millisecond j of all
-    channels — (1, C, win/4) i32 — gathered from the (1, L) int32 capture
-    slice at EXACT per-channel word offsets ``starts_ref[c] + j*spc/4``.
+    channels — (1, rows, win/(S*4)) i32, channel c's window stored as
+    S = tables.mega_split row pieces at rows q*c_dim + c — gathered from
+    the (1, L) int32 capture slice at EXACT per-channel word offsets
+    ``starts_ref[c] + j*spc/4``.
 
     Each channel's window is fetched as a 128-word-aligned slab (the DMA
     alignment unit) into its own scratch slot — one DMA in flight per
@@ -706,6 +798,7 @@ def _builder_kernel(starts_ref, cap_ref, out_ref, scratch, sems, *,
     """
     pack = MEGA_PACK
     win_w = mega_window(config) // pack
+    half_w = win_w // mega_split(config)
     w_slab = win_w + MEGA_ALIGN_W
     spc_w = config.samples_per_code // pack
     j = pl.program_id(0)
@@ -748,7 +841,16 @@ def _builder_kernel(starts_ref, cap_ref, out_ref, scratch, sems, *,
             base_r = min(base, w_slab - W)
             rw = pltpu.roll(slab[:, base_r:base_r + W],
                             -(res + (base - base_r)), 1)
-            out_ref[0, c, base:base + n_out] = rw[0, :n_out]
+            # window word w lives at row (w // half_w)*c_dim + c, column
+            # w % half_w (the q-major split-row layout; S=1 collapses to
+            # the plain per-channel row)
+            off = 0
+            while off < n_out:
+                q = (base + off) // half_w
+                col = (base + off) % half_w
+                n_q = min(n_out - off, half_w - col)
+                out_ref[0, q * c_dim + c, col:col + n_q] = rw[0, off:off + n_q]
+                off += n_q
             base += n_out
 
         @pl.when(j + 1 < r)
@@ -766,23 +868,36 @@ def mega_c_pad(c: int) -> int:
     return max(8, (c + 7) // 8 * 8)
 
 
+def mega_rows(config: ReceiverConfig, c: int) -> int:
+    """Total kernel channel-row count: mega_split row pieces per channel,
+    packed q-major, padded once as a whole to the sublane tile."""
+    from softgnss_tpu.track.tables import mega_split
+
+    return mega_c_pad(mega_split(config) * c)
+
+
 @functools.partial(jax.jit,
-                   static_argnums=(0, 1, 2), static_argnames=("c_pad",))
+                   static_argnums=(0, 1, 2), static_argnames=("rows_pad",))
 def build_frames(config: ReceiverConfig, r: int, c_dim: int, cap2, starts_w,
-                 c_pad: int | None = None):
-    """Gather (r, C, win/4) i32 per-ms frames from a (1, L) int32 capture
-    slice.  ``starts_w``: (C,) i32 frame word offsets of millisecond 0
-    relative to the slice; frame (j, c) covers words
-    [starts_w[c] + j*spc/4, + win/4) — exact bases, no alignment residue,
-    at DMA-copy speed (the XLA batched dynamic-slice gather for the same
-    job measured ~7 us per tracked millisecond; this builder ~2 us).
-    ``c_pad``: output channel-row count (>= c_dim; see :func:`mega_c_pad`)
-    — rows past c_dim are never written (the tracking kernel masks them)."""
+                 rows_pad: int | None = None):
+    """Gather (r, rows, win/(S*4)) i32 per-ms frames from a (1, L) int32
+    capture slice, channel c's window stored as S = tables.mega_split row
+    pieces at rows q*c_dim + c.  ``starts_w``: (C,) i32 frame word
+    offsets of millisecond 0 relative to the slice; frame (j, c) covers
+    words [starts_w[c] + j*spc/4, + win/4) — exact bases, no alignment
+    residue, at DMA-copy speed (the XLA batched dynamic-slice gather for
+    the same job measured ~7 us per tracked millisecond; this builder
+    ~2 us).  ``rows_pad``: output row count (>= S*c_dim; see
+    :func:`mega_rows`) — rows past S*c_dim are never written (the
+    tracking kernel masks them)."""
+    from softgnss_tpu.track.tables import mega_split
+
     pack = MEGA_PACK
     win_w = mega_window(config) // pack
+    half_w = win_w // mega_split(config)
     w_slab = win_w + MEGA_ALIGN_W
-    if c_pad is None:
-        c_pad = c_dim
+    if rows_pad is None:
+        rows_pad = mega_split(config) * c_dim
     kernel = functools.partial(_builder_kernel, config=config, r=r,
                                c_dim=c_dim)
     # scalar prefetch (not a plain SMEM operand: SMEM refs + a grid under
@@ -794,14 +909,14 @@ def build_frames(config: ReceiverConfig, r: int, c_dim: int, cap2, starts_w,
             num_scalar_prefetch=1,
             grid=(r,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((1, c_pad, win_w),
+            out_specs=pl.BlockSpec((1, rows_pad, half_w),
                                    lambda j, s: (j, j * 0, j * 0)),
             scratch_shapes=[
                 pltpu.VMEM((c_dim, 1, w_slab), jnp.int32),
                 pltpu.SemaphoreType.DMA((c_dim,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((r, c_pad, win_w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((r, rows_pad, half_w), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -884,10 +999,11 @@ def mega_track_segment(config: ReceiverConfig, r: int, frames, fb0,
          jnp.zeros((o0.shape[0], 9), jnp.int32)], axis=1)
 
     # channel rows padded to the sublane tile for every per-sample kernel
-    # tensor (see mega_c_pad); outputs slice back to the real channels
+    # tensor (see mega_c_pad / mega_rows); outputs slice back to the real
+    # channels
     c = int(active.shape[0])
     cp = mega_c_pad(c)
-    tabs_p = _pad_rows(jnp.asarray(tables.mega_tabs), cp)
+    tabs_p = _pad_rows(jnp.asarray(tables.mega_tabs), mega_rows(config, c))
     hb0_p = _pad_rows(jnp.asarray(tables.mega_hb0), cp)
     consts_i = _pad_rows(consts_i, cp)
     state_f = _pad_rows(state_f, cp)
@@ -897,7 +1013,7 @@ def mega_track_segment(config: ReceiverConfig, r: int, frames, fb0,
                                         tabs_p, hb0_p,
                                         consts_i, state_f, state_i)
     else:
-        ys, sfo, sio = _mega_call(config, r, frames, tabs_p, hb0_p,
+        ys, sfo, sio = _mega_call(config, r, c, frames, tabs_p, hb0_p,
                                   consts_i, state_f, state_i)
     ys = ys[:, :c]
     sfo = sfo[:c]

@@ -731,7 +731,7 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
         # whole-segment fused kernel: one pallas_call per (partial) block,
         # loop filters / NCO digits in VMEM scratch, per-ms frames fetched
         # by in-kernel DMA from the HBM block buffer (megakernel docstring)
-        from softgnss_tpu.track.megakernel import (build_frames, mega_c_pad,
+        from softgnss_tpu.track.megakernel import (build_frames, mega_rows,
                                                    mega_track_segment)
         from softgnss_tpu.track.tables import MEGA_ALIGN_W
 
@@ -775,7 +775,8 @@ def _scan_ms(config: ReceiverConfig, signal, tables: CorrelatorTables,
                     cap2=pres[None, :], starts_w=starts_rel)
             else:
                 frames = build_frames(config, r, c_dim, pres[None, :],
-                                      starts_rel, c_pad=mega_c_pad(c_dim))
+                                      starts_rel,
+                                      rows_pad=mega_rows(config, c_dim))
                 new, ys_raw = mega_track_segment(
                     config, r, frames, fb0, tables, carr_basis, active, st2)
             return (new, ovf2), ys_raw

@@ -155,13 +155,32 @@ MEGA_ALIGN_W = 128
 MEGA_PHASE_BIAS = 1 << 10
 
 
+def mega_split(config: ReceiverConfig) -> int:
+    """Row split S of the megakernel frames: each channel's per-ms window
+    is stored and processed as S sublane rows of ``mega_window/(S*pack)``
+    words, so the kernel's per-sample tensors carry S*C REAL channel rows
+    (padded to the 8-row sublane tile once, as a whole) instead of C rows
+    padded per se — at the reference C=12 this turns a 16/12 padded-row
+    waste into 24/24 packed rows (measured v5e: ~25% less kernel time and
+    ~25% less frames HBM traffic).  S=2 only when the coarser window
+    rounding (a multiple of S*pack*tile samples) costs <= 2% extra
+    window; small front ends stay S=1."""
+    mult1 = config.track_tile * MEGA_PACK
+    w = (config.samples_per_code + config.track_window_extra
+         + 2 * config.track_frame_pre)
+    w1 = -(-w // mult1) * mult1
+    w2 = -(-w // (2 * mult1)) * (2 * mult1)
+    return 2 if w2 <= 1.02 * w1 else 1
+
+
 def mega_window(config: ReceiverConfig) -> int:
     """Static sample window of the megakernel's per-ms frames: one code
     period + block-mode drift slack, rounded up to whole byte planes of
-    whole lane tiles.  Frames are cut at EXACT per-ms bases by the
-    Pallas frames builder (megakernel._build_frames), so no DMA-alignment
-    residual widens the window."""
-    mult = config.track_tile * MEGA_PACK
+    whole lane tiles in each of the ``mega_split`` row pieces.  Frames
+    are cut at EXACT per-ms bases by the Pallas frames builder
+    (megakernel._build_frames), so no DMA-alignment residual widens the
+    window."""
+    mult = config.track_tile * MEGA_PACK * mega_split(config)
     w = (config.samples_per_code + config.track_window_extra
          + 2 * config.track_frame_pre)
     return (w + mult - 1) // mult * mult
@@ -172,10 +191,17 @@ def mega_o_cov(config: ReceiverConfig) -> int:
     return 2 * config.track_frame_pre + config.track_window_extra
 
 
-def mega_grid(config: ReceiverConfig, default_cap: int = 38) -> tuple[int, int]:
-    """(k_tiles, t_groups) for the megakernel's chunk loop over its own
-    window (cf. pallas_kernel.grid_shape, which uses track_window)."""
-    t_pp = (mega_window(config) // MEGA_PACK) // config.track_tile
+def mega_grid(config: ReceiverConfig, default_cap: int = 25) -> tuple[int, int]:
+    """(k_tiles, t_groups) for the megakernel's chunk loop over ONE row
+    piece of its window (mega_window / mega_split samples; cf.
+    pallas_kernel.grid_shape, which uses track_window).
+
+    The default cap targets ~2400-3200-word chunk spans — measured best
+    on v5e (span 4864: 11.2 us/ms; 2432: 5.6; 256: 32 — too-large spans
+    blow the unrolled temporaries past the cache-friendly range, too-
+    small ones multiply per-chunk fixed work)."""
+    t_pp = (mega_window(config) // MEGA_PACK // mega_split(config)
+            ) // config.track_tile
     cap = config.pallas_k_tiles or default_cap
     k_tiles = max(d for d in range(1, min(cap + 1, t_pp + 1)) if t_pp % d == 0)
     return k_tiles, t_pp // k_tiles
@@ -208,15 +234,21 @@ def mega_n_words(config: ReceiverConfig) -> int:
 
 
 def mega_lane_samples(config: ReceiverConfig) -> np.ndarray:
-    """(mega_window,) capture-sample index of each table lane, in the
-    kernel's chunk-processing order: chunk cb = b*t_groups + g, lane l
-    within the chunk handles sample MEGA_PACK*(g*span + l) + b."""
+    """(mega_split, mega_window/mega_split) capture-sample index of each
+    table lane, in the kernel's row/chunk-processing order: row piece q,
+    chunk cb = b*t_groups + g, lane l within the chunk handles sample
+    MEGA_PACK*(q*half_w + g*span + l) + b, half_w = win/(S*pack)."""
+    s_split = mega_split(config)
     k_tiles, t_groups = mega_grid(config)
     span = k_tiles * config.track_tile
+    half_w = mega_window(config) // MEGA_PACK // s_split
     lam = np.arange(span)
-    ks = [MEGA_PACK * (g * span + lam) + b
-          for b in range(MEGA_PACK) for g in range(t_groups)]
-    return np.concatenate(ks)
+    out = []
+    for q in range(s_split):
+        ks = [MEGA_PACK * (q * half_w + g * span + lam) + b
+              for b in range(MEGA_PACK) for g in range(t_groups)]
+        out.append(np.concatenate(ks))
+    return np.stack(out)
 
 
 def mega_lane_tables(config: ReceiverConfig, prns: np.ndarray,
@@ -254,13 +286,14 @@ def mega_lane_tables(config: ReceiverConfig, prns: np.ndarray,
             "words; this front end's per-sample chip advance is too coarse "
             "— use another correlator_impl")
     win = mega_window(config)
-    k_tiles, t_groups = mega_grid(config)
-    span = k_tiles * config.track_tile
-    n_chunks = MEGA_PACK * t_groups
-    k = mega_lane_samples(config).astype(np.float64)          # (win,)
+    s_split = mega_split(config)
+    cols = win // s_split
+    k2 = mega_lane_samples(config).astype(np.float64)        # (S, cols)
     shift = _mega_shift_subchips(config)
 
-    tabs = np.zeros((c, n_words, win), np.int64)
+    # rows are q-major over the S row pieces: row q*c + i holds channel
+    # i's piece q (matching the kernel's packed channel-row layout)
+    tabs = np.zeros((s_split * c, n_words, cols), np.int64)
     hb0 = np.zeros((c, 1), np.int64)
     p_arange = np.arange(w_bits)
     for i in range(c):
@@ -273,22 +306,25 @@ def mega_lane_tables(config: ReceiverConfig, prns: np.ndarray,
                    else acquired_freq[i] - config.intermediate_freq)
         fc_eff = config.code_freq_basis * (1.0 + doppler / config.l1_freq)
         s_chips = fc_eff / config.sampling_freq
-        hb = (np.floor(s * s_chips * k).astype(np.int64)
-              - _H_OFFSET - shift)                            # (win,)
-        hb0[i] = hb.min()
-        hb_rel = hb - hb0[i]
-        if hb_rel.max() >= 1 << 15:
+        hb_all = (np.floor(s * s_chips * k2).astype(np.int64)
+                  - _H_OFFSET - shift)                       # (S, cols)
+        hb0[i] = hb_all.min()
+        if (hb_all - hb0[i]).max() >= 1 << 15:
             raise ValueError("megakernel window too wide for the 15-bit "
                              "per-lane sub-chip offset (subdivision or "
                              "front end too coarse)")
-        idx = hb[:, None] - ds + p_arange[None, :]            # (win, w_bits)
-        bits = (base1d[np.clip(idx, 0, len(base1d) - 1)] > 0).astype(np.int64)
-        for u in range(n_words):
-            sel = bits[:, 32 * u:min(w_bits, 32 * u + 32)]
-            sh = np.arange(sel.shape[1])
-            word = np.sum(sel << sh, axis=1)
-            tabs[i, u] = word - ((word >> 31) << 32)   # two's-complement
-        tabs[i, n_words - 1] |= hb_rel << 16
+        for q in range(s_split):
+            hb = hb_all[q]
+            hb_rel = hb - hb0[i]
+            idx = hb[:, None] - ds + p_arange[None, :]       # (cols, w_bits)
+            bits = (base1d[np.clip(idx, 0, len(base1d) - 1)] > 0
+                    ).astype(np.int64)
+            for u in range(n_words):
+                sel = bits[:, 32 * u:min(w_bits, 32 * u + 32)]
+                sh = np.arange(sel.shape[1])
+                word = np.sum(sel << sh, axis=1)
+                tabs[q * c + i, u] = word - ((word >> 31) << 32)  # 2's-comp
+            tabs[q * c + i, n_words - 1] |= hb_rel << 16
     return tabs.astype(np.int32), (hb0 + MEGA_PHASE_BIAS).astype(np.int32)
 
 

@@ -78,6 +78,30 @@ class TestMegakernelParity:
         assert (res_mk.pll_discr[:, 0] == 0).all()
         assert not (res_mk.pll_discr[:, 1] == 0).all()
 
+    def test_split_rows_match_f64_path(self, setup):
+        """mega_split=2 (q-major split-row frames/tables, expanded
+        per-row scalars, per-channel fold of the piece sums) must match
+        the f64 onehot path exactly like the S=1 layout does.
+        track_tile=12 resolves S=2 on the fast front end."""
+        from softgnss_tpu.track.tables import mega_split
+
+        cfg, signal, channels = setup
+        c12 = cfg.with_options(track_tile=12)
+        assert mega_split(c12) == 2
+        res_oh = track(c12.with_options(correlator_impl="onehot"),
+                       signal, channels, n_ms=64)
+        res_mk = track(c12.with_options(correlator_impl="megakernel"),
+                       signal, channels, n_ms=64)
+        np.testing.assert_array_equal(res_mk.absolute_sample,
+                                      res_oh.absolute_sample)
+        for f in ("i_p", "i_e", "i_l", "q_e", "q_p", "q_l"):
+            a = np.asarray(getattr(res_oh, f), np.float64)
+            b = np.asarray(getattr(res_mk, f), np.float64)
+            scale = np.sqrt(np.mean(a**2))
+            assert np.sqrt(np.mean((a - b) ** 2)) / scale < 1e-3, f
+        assert np.max(np.abs(res_mk.carr_freq - res_oh.carr_freq)) < 0.1
+        assert np.max(np.abs(res_mk.code_freq - res_oh.code_freq)) < 0.05
+
     def test_inactive_channel_frozen(self, setup):
         cfg, signal, channels = setup
         ch = Channels(prn=channels.prn.copy(),
@@ -156,18 +180,22 @@ class TestMegaGeometryGuards:
     def test_builder_frames_exact_odd_geometries(self, tile):
         # compare build_frames (interpret mode off-TPU) against a plain
         # numpy gather at the exact per-channel word bases, including
-        # window widths that do NOT sit on the 128-word DMA lane tile
+        # window widths that do NOT sit on the 128-word DMA lane tile.
+        # tile=12 resolves mega_split=2 on the fast front end, so the
+        # q-major split-row layout is covered here too.
         import jax.numpy as jnp
 
         from softgnss_tpu.track.megakernel import build_frames
         from softgnss_tpu.track.tables import (MEGA_ALIGN_W, MEGA_PACK,
-                                               mega_window)
+                                               mega_split, mega_window)
 
         cfg = sg.fast_config(track_tile=tile, track_block_ms=8)
         if not cfg._mega_capable:
             pytest.skip("front end not mega-capable")
         r, c_dim = 4, 3
+        s_split = mega_split(cfg)
         win_w = mega_window(cfg) // MEGA_PACK
+        half_w = win_w // s_split
         spc_w = cfg.samples_per_code // MEGA_PACK
         rng = np.random.default_rng(tile)
         cap = rng.integers(-2**30, 2**30,
@@ -177,11 +205,14 @@ class TestMegaGeometryGuards:
         frames = np.asarray(build_frames(cfg, r, c_dim,
                                          jnp.asarray(cap),
                                          jnp.asarray(starts)))
+        assert frames.shape == (r, s_split * c_dim, half_w)
         for j in range(r):
             for c in range(c_dim):
                 b = int(starts[c]) + j * spc_w
-                np.testing.assert_array_equal(frames[j, c],
-                                              cap[0, b:b + win_w])
+                for q in range(s_split):
+                    np.testing.assert_array_equal(
+                        frames[j, q * c_dim + c],
+                        cap[0, b + q * half_w:b + (q + 1) * half_w])
 
     def test_out_of_range_front_end_rejected(self):
         # one code period per millisecond must fit the kernel's 16-bit
