@@ -180,17 +180,22 @@ def main() -> None:
     # idle), so "fraction of chip FLOPs" is the wrong lens; step time vs
     # the VPU op floor is the honest one.  Per-sample op counts by
     # correlator: the one-hot contraction does ~3*onehot_width
-    # compare/select/adds plus the ~30-op baseband mix; the megakernel's
-    # bit-shift code lookup replaces the one-hot with ~8 ops per tap
-    # (~72 ops/sample total incl. baseband + exact phase-digit ramp),
-    # so its floor is LOWER and its utilization reads honestly worse.
-    from softgnss_tpu.track.tables import onehot_width
+    # compare/select/adds plus the ~30-op baseband mix; the round-5
+    # megakernel does ~53 ops/sample (unpack 3, mask 5, angle-addition
+    # carrier rotation off the shared per-ms lane table 6, baseband 4,
+    # shared-product Q40 digit ramp 7, table funnel+clamp 7, three
+    # select/accumulate tap pairs 18, ~3 amortized shared-table build),
+    # with ZERO padded rows (tables.mega_split packs 2C channel rows),
+    # so its floor is LOWER than earlier rounds' and utilization reads
+    # honestly worse.
+    from softgnss_tpu.track.tables import mega_window, onehot_width
 
     if config.resolved_correlator == "megakernel":
-        ops_per_sample = 72
+        ops_per_sample = 53
+        vpu_ops = mega_window(config) * ops_per_sample * n_channels
     else:
         ops_per_sample = 3 * onehot_width(config) + 30
-    vpu_ops = config.track_window * ops_per_sample * n_channels
+        vpu_ops = config.track_window * ops_per_sample * n_channels
     floor_s = vpu_ops / 4e12
 
     print(json.dumps({

@@ -130,7 +130,14 @@ if __name__ == "__main__":
     n = int(os.environ.get("N", "24"))
     t = timeit(run_current, n, starts)
     print(f"current 2xpow2 : {t / (n * B) * 1e6:6.2f} us/ms", flush=True)
-    ref_frames = build_frames(cfg, B, C, cap, starts)
+    # build_frames now emits the mega_split row layout (row q*C + c =
+    # window piece q of channel c); reconstruct the flat per-channel
+    # windows so the W-variant prototypes (flat layout) compare 1:1
+    from softgnss_tpu.track.tables import mega_split
+    S = mega_split(cfg)
+    ref_split = build_frames(cfg, B, C, cap, starts)
+    ref_frames = jnp.concatenate(
+        [ref_split[:, q * C:(q + 1) * C] for q in range(S)], axis=2)
     for W in (1024, 2048, 4096):
         # full-array correctness vs current first
         kern = functools.partial(_builder_var, r=B, c_dim=C, W=W)
