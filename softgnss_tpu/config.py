@@ -262,9 +262,10 @@ class ReceiverConfig:
     #: array and its write+read round-trip disappear along with the
     #: separate builder launch); False runs build_frames as its own
     #: pallas_call feeding the kernel through a pipelined BlockSpec input.
-    #: Measured on v5e (BASELINE.md): the separate builder WINS (median
-    #: 17.4 vs 17.8 us/step) — fused, the residual rolls serialize with
-    #: the correlator instead of overlapping the builder's DMA waits,
+    #: Measured on v5e (BASELINE.md; re-measured round 5 under the
+    #: split-row layout): the separate builder WINS (14.2 vs 14.5
+    #: us/step) — fused, the residual rolls serialize with the
+    #: correlator instead of overlapping the builder's DMA waits,
     #: costing more than the saved frames round-trip.  Kept as an option
     #: (it saves ~29 MB HBM per block; may win where HBM is tighter)
     mega_fused_frames: bool = False

@@ -9,7 +9,7 @@ dependency (loop filters, exact Q40/uint32 NCOs) inside the kernel.
 Matches reference tracking.py:132-275 (the whole per-ms hot loop
 including loop filters) through the same equations.
 
-Round-4 design (see BASELINE.md for the measured history):
+Round-5 design (see BASELINE.md for the measured history):
 
 * **Frames via in-kernel DMA, not XLA assembly.**  The per-channel block
   buffer (sliced from the int32 capture view) stays in HBM; each grid
@@ -22,17 +22,35 @@ Round-4 design (see BASELINE.md for the measured history):
   that cost ~7 us/step of HBM round-trips at ~55 GB/s.  Offsets are
   anchored at the ABSOLUTE millisecond (static ``p0`` = block phase), so a
   resumed run reads bit-identical frames (tests/test_megakernel.py).
+* **Packed channel rows** (tables.mega_split, :func:`mega_rows`): Mosaic
+  prices a sublane-misaligned (12, span) tensor WORSE than an aligned
+  (16, span) one, so each channel's window is stored as S row pieces
+  (row q*C + c = piece q of channel c) and every per-sample tensor
+  carries S*C REAL rows padded once, as a whole, to the 8-row tile —
+  zero pad at the reference C=12.  Per-channel scalars expand q-major
+  through a VMEM scratch (``exs``); the six piece sums fold back per
+  channel after the chunk loop.
 * **Per-LANE joint code tables** (tables.mega_lane_tables): static i32
   words per capture sample position hold the E/P/L code signs as
   adjacent bits of a joint window PLUS the lane's sub-chip base offset.
-  The per-sample code lookup is one funnel shift + three bit tests — no
-  ``jnp.repeat`` broadcasts, no per-tile one-hot.  (Round 3 expanded
-  per-TILE words with three repeat/shift chains per chunk; the repeats
-  were the dominant in-kernel relayout cost.)
+  The per-sample code lookup is one funnel shift + three bit tests — a
+  SINGLE logical shift at front ends whose joint window fits one word
+  (mega_n_words == 1, the reference geometry).
+* **Shared per-ms lane tables**: the carrier sin/cos of the per-lane NCO
+  ramp and the Q40 digit-ramp lane products are computed once per
+  millisecond and reused by every chunk; each chunk combines the
+  carrier by the angle-addition identity from a per-channel scalar
+  rotation (exact in phase — the integer turns split mod 2^32; ~1e-7
+  f32 rounding in the combination).
 * **Shared-fold sine/cosine** (:func:`_sincos_counts`): quadrant folding
   happens once on the integer NCO counts; one odd + one even minimax
   polynomial produce sin and cos together (~2e-7 max error, tighter than
   the separate sin_turns calls it replaces).
+* **No tensor left-shifts** in the digit pairings: the 2026-08 libtpu
+  miscompiles ``(rows, 1) << 16`` to 0 inside this kernel (hardware
+  only — interpret mode is fine), so pairings use ``* 65536``; see the
+  ``sp2`` note and scripts/oracle_check.py for the hardware regression
+  check.
 * **Exact Q40 code NCO in 16-bit-digit int32 arithmetic** (Mosaic has no
   int64): block length ``blk = ceil((1023 chips - rem)/step)``, remainder
   update, and the per-lane sub-chip phase ramp are computed on 4x16-bit
@@ -495,7 +513,8 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
             hc = jnp.minimum(jnp.maximum(h_local, jnp.int32(0)),
                              jnp.int32(32 * n_tab - 1))
             hcu = pltpu.bitcast(hc, jnp.uint32)
-            hs = hcu & jnp.uint32(31)
+            # n_tab == 1: the clamp already bounds hc <= 31, no & needed
+            hs = hcu if n_tab == 1 else hcu & jnp.uint32(31)
             # funnel: 32-bit window of the joint word sequence at bit hc.
             # Valid lanes read bits hc..hc+2ds, which never reach the last
             # word's non-code bits (mega_lane_tables reserves them), so
