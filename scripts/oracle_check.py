@@ -21,7 +21,7 @@ channels = Channels(prn=np.asarray([p for p,_,_ in params]),
                     status=['T']*3)
 n_ms = 96
 orc = oracle_track_channel(cfg, np.asarray(signal), 5, cfg.intermediate_freq + 1200.0, 3333, n_ms)
-for impl in ('onehot', 'megakernel'):
+for impl in ('onehot', 'pallas', 'megakernel'):
     res = track(cfg.with_options(correlator_impl=impl), signal, channels, n_ms=n_ms)
     ip = np.asarray(res.i_p, np.float64)[0]
     a = np.asarray(orc['i_p'], np.float64)
