@@ -563,7 +563,10 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
     ms = sti[:, 6:7]
     if K > 1:
         acc6 = [stf[:, 4 + i:5 + i] + corr[i] for i in range(6)]
-        upd = (ms % K) == (K - 1)
+        # typed constants: a weak Python int under x64 sends the promote/
+        # convert path into unbounded recursion at trace time (same class
+        # as the _round_f32_to_i32 clip-bounds note)
+        upd = (ms % jnp.int32(K)) == jnp.int32(K - 1)
     else:
         acc6 = corr
         upd = None
@@ -671,7 +674,6 @@ def _check_kernel_ranges(config: ReceiverConfig) -> None:
             "16-bit digit multiplier (window too wide for the row split)")
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _mega_call(config: ReceiverConfig, r: int, c_real: int, frames, tabs,
                hb0, consts_i, state_f, state_i):
     """Invoke the megakernel on pre-built per-ms frames
@@ -725,7 +727,6 @@ def _mega_call(config: ReceiverConfig, r: int, c_real: int, frames, tabs,
     return ys, sfo, sio
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _mega_call_fused(config: ReceiverConfig, r: int, c_real: int,
                      cap2, starts_w, tabs,
                      hb0, consts_i, state_f, state_i):
@@ -895,8 +896,6 @@ def mega_rows(config: ReceiverConfig, c: int) -> int:
     return mega_c_pad(mega_split(config) * c)
 
 
-@functools.partial(jax.jit,
-                   static_argnums=(0, 1, 2), static_argnames=("rows_pad",))
 def build_frames(config: ReceiverConfig, r: int, c_dim: int, cap2, starts_w,
                  rows_pad: int | None = None):
     """Gather (r, rows, win/(S*4)) i32 per-ms frames from a (1, L) int32
