@@ -372,6 +372,10 @@ class ReceiverConfig:
         # 32-bit funnel window, and the joint-word table caps at 16 words
         if 2 * int(round(self.dll_correlator_spacing * s)) > 31:
             return False
+        # the per-lane sub-chip base offsets ride 15 bits of the last
+        # joint word (tables.mega_lane_tables raises beyond it)
+        if _tables.mega_hb_span(self) >= (1 << 15) - 8:
+            return False
         return _tables.mega_n_words(self) <= 16
 
     @property

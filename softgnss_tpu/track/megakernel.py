@@ -235,6 +235,22 @@ def _round_f32_to_i32(x, bound: float):
     return jnp.floor(c + jnp.float32(0.5)).astype(jnp.int32)
 
 
+def _split_row_pieces(c, base, n_out, half_w, c_dim):
+    """Static pieces mapping window words [base, base+n_out) of channel
+    ``c`` to the q-major split-row frame layout: word w lives at row
+    (w // half_w)*c_dim + c, column w % half_w (S=1 collapses to the
+    plain per-channel row).  Shared by the separate frames builder and
+    the fused-kernel prologue so their layouts stay provably identical.
+    Yields (row, col, n, off)."""
+    off = 0
+    while off < n_out:
+        q = (base + off) // half_w
+        col = (base + off) % half_w
+        n = min(n_out - off, half_w - col)
+        yield q * c_dim + c, col, n, off
+        off += n
+
+
 def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
             fused: bool = False, c_real: int | None = None):
     """One grid step = one millisecond, all channels, all chunks statically
@@ -330,15 +346,9 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
                 base_r = min(base, w_slab - W)
                 rw = pltpu.roll(slab_c[:, base_r:base_r + W],
                                 -(res + (base - base_r)), 1)
-                # window word w lives at row (w // half_w)*c_dim + c,
-                # column w % half_w (the q-major split-row layout)
-                off = 0
-                while off < n_out:
-                    q = (base + off) // half_w
-                    col = (base + off) % half_w
-                    n_q = min(n_out - off, half_w - col)
-                    fr[q * c_dim + c, col:col + n_q] = rw[0, off:off + n_q]
-                    off += n_q
+                for row, col, n_q, off in _split_row_pieces(
+                        c, base, n_out, half_w, c_dim):
+                    fr[row, col:col + n_q] = rw[0, off:off + n_q]
                 base += n_out
 
             @pl.when(j + 1 < r)
@@ -431,8 +441,13 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
         # the q-major (rows, 1) expansion goes through a VMEM scratch:
         # tpu.concatenate requires uniform non-concat-dim layout offsets,
         # which state-column slices don't have — a store/load round-trip
-        # normalizes them, and pad rows stay zero (mask-safe: blk=0)
-        exs[...] = jnp.zeros_like(exs)
+        # normalizes them, and pad rows stay zero (mask-safe: blk=0).
+        # The real rows are overwritten every step, so only the static
+        # pad rows need the one-time zeroing.
+        @pl.when(j == 0)
+        def _zero_exs():
+            exs[...] = jnp.zeros_like(exs)
+
         d_half = _dmul_u16(s_q, q_off)
         a_q = a0
         for q in range(s_split):
@@ -551,7 +566,11 @@ def _kernel(frames_ref, *rest, config: ReceiverConfig, r: int,
                 tot = tot + t[q * c_r:(q + 1) * c_r]
             out = [tot]
             need = cp - c_r
-            while need > 0:              # same-lineage pad (see _exq)
+            # pad rows are zeroed SLICES of tot, not fresh jnp.zeros:
+            # Mosaic's concatenate requires every operand to share the
+            # non-concat-dim layout offsets, and a literal zeros tensor
+            # materializes at canonical offsets while tot may not
+            while need > 0:
                 take = min(need, c_r)
                 out.append(tot[:take] * 0)
                 need -= take
@@ -861,16 +880,9 @@ def _builder_kernel(starts_ref, cap_ref, out_ref, scratch, sems, *,
             base_r = min(base, w_slab - W)
             rw = pltpu.roll(slab[:, base_r:base_r + W],
                             -(res + (base - base_r)), 1)
-            # window word w lives at row (w // half_w)*c_dim + c, column
-            # w % half_w (the q-major split-row layout; S=1 collapses to
-            # the plain per-channel row)
-            off = 0
-            while off < n_out:
-                q = (base + off) // half_w
-                col = (base + off) % half_w
-                n_q = min(n_out - off, half_w - col)
-                out_ref[0, q * c_dim + c, col:col + n_q] = rw[0, off:off + n_q]
-                off += n_q
+            for row, col, n_q, off in _split_row_pieces(
+                    c, base, n_out, half_w, c_dim):
+                out_ref[0, row, col:col + n_q] = rw[0, off:off + n_q]
             base += n_out
 
         @pl.when(j + 1 < r)

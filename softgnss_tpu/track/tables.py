@@ -215,6 +215,17 @@ def _mega_shift_subchips(config: ReceiverConfig) -> int:
     return int(np.ceil(s * s_chips * mega_o_cov(config)))
 
 
+def mega_hb_span(config: ReceiverConfig) -> int:
+    """Worst-case per-lane sub-chip base spread across the megakernel
+    window (the ``hb_rel`` range packed into the last joint word's bits
+    16..30), including the +-6 kHz L1 Doppler scaling of the nominal
+    chip rate.  Must stay below 2^15 (mega_lane_tables raises;
+    config._mega_capable degrades 'auto' before that)."""
+    s = subdivision(config)
+    s_chips = config.code_freq_basis / config.sampling_freq
+    return int(np.ceil(s * s_chips * (1.0 + 4e-6) * mega_window(config)))
+
+
 def mega_width(config: ReceiverConfig) -> int:
     """Joint per-lane code-word width in bits: the E tap's sub-chip window
     plus the P/L taps' constant offsets."""
@@ -256,13 +267,15 @@ def mega_lane_tables(config: ReceiverConfig, prns: np.ndarray,
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Per-lane joint E/P/L code words for the megakernel.
 
-    Returns (tabs (C, n_words, W) i32, hb0 (C, 1) i32),
-    W = mega_window, n_words = mega_n_words.  For table lane ``l``
-    (capture sample k(l), nominal sub-chip base hb(l)), bit ``p`` of the
-    word sequence tabs[:, 0..] (32 bits per word; the last word's bits
-    16.. are NOT code bits) is the sign of the sub-chip P-tap code at
-    index hb(l) - ds + p, so a sample whose half-chip index is
-    h = hb(l) + h_local reads E/P/L at sequence bits h_local,
+    Returns (tabs (S*C, n_words, W/S) i32, hb0 (C, 1) i32),
+    W = mega_window, S = mega_split, n_words = mega_n_words; tabs rows
+    are q-major over the S window row pieces (row q*C + i = channel i's
+    piece q, matching the kernel's packed channel-row layout).  For
+    table lane ``l`` (capture sample k(l), nominal sub-chip base hb(l)),
+    bit ``p`` of the word sequence tabs[:, 0..] (32 bits per word; the
+    last word's bits 16.. are NOT code bits) is the sign of the sub-chip
+    P-tap code at index hb(l) - ds + p, so a sample whose half-chip
+    index is h = hb(l) + h_local reads E/P/L at sequence bits h_local,
     h_local+ds, h_local+2ds.  The last word's bits 16.. carry
     hb(l) - hb0 (one per-channel base), and hb0 (+ MEGA_PHASE_BIAS) is
     folded into the kernel's per-ms phase digits, so

@@ -234,6 +234,19 @@ class TestMegaGeometryGuards:
         with pytest.raises(AssertionError, match="2\\^16"):
             _check_kernel_ranges(cfg)
 
+    def test_high_subdivision_hb_span_rejected(self):
+        # spacing 5/32: subdivision 32 passes the funnel (2*ds=10) and
+        # word-count checks, but the per-lane sub-chip spread over the
+        # window overflows the 15-bit hb_rel packing — 'auto' must not
+        # pick the megakernel (the table builder raises for it).
+        from softgnss_tpu.track.tables import mega_hb_span, mega_lane_tables
+
+        cfg = sg.default_config(dll_correlator_spacing=5 / 32)
+        assert mega_hb_span(cfg) >= (1 << 15) - 8
+        assert not cfg._mega_capable
+        with pytest.raises(ValueError, match="15-bit"):
+            mega_lane_tables(cfg, np.array([1]), None)
+
     def test_wide_spacing_rejected(self):
         # the joint-word taps are read at bits hc, hc+ds, hc+2*ds of ONE
         # 32-bit funnel window: spacing 17/32 (subdivision 32, ds=17)
